@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.Fixtures
+import graft.engine.{Crawler, Politeness}
+import graft.extract._
+
+/** Crawl jobs over the fixture corpus — each mirrors one reference test
+  * shape (FIXTURES.md) and backs one SparkEntry query with a DuckDB oracle
+  * reconstructing the expected rows from `documents.parquet`.
+  */
+object CrawlQueries {
+
+  /** `hello_world_test.go:24-41` / `nextpage_test.go:17-39` shape:
+    * scope+attrs extraction, `.next` paginator, Limit=3.
+    */
+  val listJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "#doclist > li",
+      attrs = Some(Map(
+        "title" -> Selector(css = "a.tit"),                 // P3 concat innerText
+        "link" -> Selector(css = "a.tit", attr = "href"),   // P4 JS-prop absolutized
+        "date_s" -> Selector(css = "span.date"),
+        "snip" -> Selector(css = "a.tit", attr = "title")
+      ))),
+    paginator = Selector(css = "a.next", attr = "href"),
+    limit = 3)
+
+  /** `xpath_test.go:18-35` shape: XpathScope/Xpath extraction, xpath
+    * paginator guarded by `not(@aria-disabled='true')`.
+    */
+  val cmtJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      xpathScope = "//*[@id='commentModule']//div[@class='commentList']/div",
+      attrs = Some(Map(
+        "content" -> Selector(xpath = "//div[@class='commentDetail']"),
+        "ctime" -> Selector(xpath = "//div[@class='commentTime']")
+      ))),
+    paginator = Selector(
+      xpath = "//*[@id='commentModule']//li[@class=' ant-pagination-next' and not(@aria-disabled='true')]"),
+    limit = 3)
+
+  /** `ctrip_test.go:109-138` shape: `GetAttributeValueEvent` + CheckFunc
+    * last-page guard (stops after the aria-disabled page).
+    */
+  val condJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "ul.cl > li",
+      attrs = Some(Map("title" -> Selector(css = "a.t")))),
+    paginator = Selector(css = "a.nxt", attr = "href"),
+    paginatorCondition = Some(Condition(
+      value = "false",
+      checkFunc = (text, value) => text == value,
+      execType = GetAttributeValueEvent,
+      execSelector = Selector(css = "a.nxt", attr = "aria-disabled"))),
+    limit = 0)
+
+  /** `iframe_test.go:15-41` shape: IframeSelector father scoping. */
+  val ifrJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      iframe = true,
+      iframeSelector = Some(Selector(css = "#zp")),
+      scope = "table tr",
+      attrs = Some(Map(
+        "title" -> Selector(css = "a", attr = "title"),
+        "link" -> Selector(css = "a", attr = "href"),
+        "date_s" -> Selector(css = "td:last-child > span")
+      ))),
+    paginator = Selector(css = "a.next", attr = "href"),
+    limit = 3)
+
+  /** `scroll_test.go:17-34` shape: load-more with cursor dedup. */
+  val moreJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "#content-list > div.item",
+      attrs = Some(Map(
+        "title" -> Selector(css = ".tit > a"),
+        "time_s" -> Selector(css = ".time"),
+        "link" -> Selector(css = ".tit > a", attr = "href")
+      ))),
+    paginator = Selector(css = "#list > div.xpage-more-btn.look"), // click-target href
+    limit = 3)
+
+  /** `scroll_smooth_test.go:16-47` shape: full re-extract, DOM-attr reads
+    * (raw href, C3).
+    */
+  val feedJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "div[data-testid='cellInnerDiv'] article[data-testid='tweet']",
+      attrs = Some(Map(
+        "txt" -> Selector(css = "div[data-testid='tweetText']"),
+        "dt" -> Selector(css = "a > time", attr = "datetime"),
+        "link" -> Selector(css = "a.lnk", attr = "href"),
+        "labels" -> Selector(css = "div.counts", attr = "aria-label")
+      ))),
+    paginator = Selector(css = "a.more", attr = "href"),
+    limit = 3)
+
+  /** `dynamic_nextpagebtn_test.go:36-40` shape: PaginatorFunc templated on
+    * current pageNo.
+    */
+  val dynJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "ul.dl > li",
+      attrs = Some(Map("t" -> Selector()))), // P2 innerText of scope node
+    paginatorFunc = Some(pageNo => Selector(css = s"div.pager > a[title='goto${pageNo + 1}']", attr = "href")),
+    limit = 3)
+
+  /** robots-gating job (north-rule addition). */
+  val robotsJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "ul.rl > li",
+      attrs = Some(Map("title" -> Selector(css = "a.r")))),
+    limit = 1)
+
+  /** Parser-leniency + P3/P7/P8 semantics page. */
+  val edgeJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "ul.z > li",
+      attrs = Some(Map(
+        "ab" -> Selector(css = "p"),          // concat-all over two <p>
+        "date_s" -> Selector(css = ".only-date"),
+        "noval" -> Selector(css = ".empty")   // always empty → zero-drop → null
+      ))),
+    limit = 1)
+
+  val entitiesJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "div.ent",
+      attrs = Some(Map("val" -> Selector()))),
+    limit = 1)
+
+  // ------------------------------------------------------------- helpers
+
+  def crawler(spark: SparkSession, sfDir: String,
+              politeness: Politeness.Config = Politeness.Config(),
+              respectRobots: Boolean = false): Crawler =
+    new Crawler(spark, Fixtures.corpus(spark, sfDir),
+      Crawler.Config(politeness = politeness, respectRobots = respectRobots))
+
+  /** Standard projection: doc_id from seed_id, long-typed ordering columns,
+    * item fields flattened; deterministic (doc_id, page_no, pos) order.
+    */
+  def flatten(df: DataFrame, fields: Seq[String]): DataFrame = {
+    val base = df
+      .filter(col("item").isNotNull)
+      .withColumn("doc_id", expr("cast(substring(seed_id, 2) as long)"))
+      .withColumn("page_no_l", col("page_no").cast("long"))
+      .withColumn("pos_l", col("pos").cast("long"))
+    val cols = Seq(col("doc_id"), col("page_no_l").as("page_no"), col("pos_l").as("pos")) ++
+      fields.map(f => col(s"item.$f").as(f))
+    base.select(cols: _*).orderBy("doc_id", "page_no", "pos")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def crawlList(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/list/p1.html")
+    flatten(crawler(spark, sfDir).crawl(listJob, seeds),
+      Seq("title", "link", "date_s", "snip"))
+  }
+
+  def crawlXpath(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/cmt/p1.html")
+    flatten(crawler(spark, sfDir).crawl(cmtJob, seeds), Seq("content", "ctime"))
+  }
+
+  def crawlCondition(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/cond/p1.html")
+    flatten(crawler(spark, sfDir).crawl(condJob, seeds), Seq("title"))
+  }
+
+  def crawlIframe(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/ifr/p1.html")
+    flatten(crawler(spark, sfDir).crawl(ifrJob, seeds), Seq("title", "link", "date_s"))
+  }
+
+  def crawlScroll(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/more/s1.html")
+    flatten(crawler(spark, sfDir).crawlScroll(moreJob, seeds), Seq("title", "time_s", "link"))
+  }
+
+  def crawlScrollSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/feed/s1.html")
+    flatten(crawler(spark, sfDir).crawlScrollSmooth(feedJob, seeds),
+      Seq("txt", "dt", "link", "labels"))
+  }
+
+  def crawlDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/dyn/p1.html")
+    flatten(crawler(spark, sfDir).crawl(dynJob, seeds), Seq("t"))
+  }
+
+  def crawlRobots(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d =>
+      if (d % 5 == 0) s"http://${Fixtures.host(d)}/blocked/d$d.html"
+      else s"http://${Fixtures.host(d)}/ok/d$d.html")
+    flatten(crawler(spark, sfDir, respectRobots = true).crawl(robotsJob, seeds), Seq("title"))
+      .select("doc_id", "title").orderBy("doc_id")
+  }
+
+  def crawlEdge(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/edge/e1.html")
+    flatten(crawler(spark, sfDir).crawl(edgeJob, seeds), Seq("ab", "date_s", "noval"))
+      .select("doc_id", "pos", "ab", "date_s", "noval").orderBy("doc_id", "pos")
+  }
+
+  def crawlEntities(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/edge/e1.html")
+    flatten(crawler(spark, sfDir).crawl(entitiesJob, seeds), Seq("val"))
+      .select("doc_id", "val").orderBy("doc_id")
+  }
+
+  /** Final URL-seen set of the list crawl — the north-rule parity surface
+    * ("identical crawl ordering and final URL-seen set").
+    */
+  def urlSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/list/p1.html")
+    crawler(spark, sfDir).crawl(listJob, seeds)
+      .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"), col("url"))
+      .distinct().orderBy("doc_id", "url")
+  }
+
+  /** Politeness pacing contract: with Delay fixed at 100ms, request k of a
+    * host in a round starts at k*100ms (`svcimpl.go:666-675` made
+    * deterministic).
+    */
+  def politenessSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/list/p1.html")
+    val c = crawler(spark, sfDir, politeness = Politeness.Config(delayMinMs = 100, delayMaxMs = 100))
+    c.crawl(listJob, seeds)
+      .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),
+        col("page_no").cast("long").as("page_no"), col("url"),
+        col("scheduled_ms"), col("fetch_seq"))
+      .distinct()
+      .orderBy("doc_id", "page_no")
+  }
+
+  /** Per-host crawl metrics — the aggregation surface (SURVEY.md §2.5). */
+  def crawlMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/list/p1.html")
+    crawler(spark, sfDir).crawl(listJob, seeds)
+      .select(col("url"), regexp_extract(col("url"), "http://([^/]+)/", 1).as("host"))
+      .distinct()
+      .groupBy("host").agg(count(lit(1)).as("pages"))
+      .orderBy("host")
+  }
+}

@@ -1,0 +1,181 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.html.Entities
+
+/** Deterministic synthetic web corpus (FIXTURES.md) with the exact
+  * BASELINE.json input_hint shape:
+  *
+  *   corpus(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+  *
+  * Pages are a pure function of the driver-generated `documents` table
+  * (doc_id, text, lang) so DuckDB can reconstruct every expected extraction
+  * result from the same parquet — the correctness oracle for "byte-identical
+  * extracted text per url". Each fixture family mirrors one reference test's
+  * DOM shape (cites below; FIXTURES.md table).
+  *
+  * For document d:
+  *   host   = "h{d % 50}.test"
+  *   base   = "http://{host}/d{d}"
+  *   snip   = substr(text, 1, 40)    (corpus text is ASCII, single-spaced)
+  *
+  * Families (urls under base):
+  *   /list/p{k}.html  k=1..3   list+pagination   (nextpage_test.go:17-39)
+  *   /cmt/p{k}.html   k=1..3   xpath comments    (xpath_test.go:18-35)
+  *   /cond/p{k}.html  k=1..6   paginate-condition, disabled at k=5 (ctrip_test.go:109-138)
+  *   /ifr/p{k}.html   k=1..3   iframe table      (iframe_test.go:15-41)
+  *   /more/s{k}.html  k=1..3   load-more cumulative list (scroll_test.go:17-34)
+  *   /feed/s{k}.html  k=1..3   tweet-like feed   (scroll_smooth_test.go:16-47)
+  *   /dyn/p{k}.html   k=1..3   dynamic paginator (dynamic_nextpagebtn_test.go:36-40)
+  *   /ok/b1.html, /blocked/b1.html   robots gating (north-rule addition)
+  *   /edge/e1.html              parser leniency + P3/P7/P8 semantics
+  *   http://{host}/robots.txt   for hosts of docs d < 50
+  */
+object Fixtures {
+
+  final case class Doc(doc_id: Long, text: String, lang: String)
+  final case class Page(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte], text: String, lang: String)
+
+  def host(d: Long): String = s"h${d % 50}.test"
+  def base(d: Long): String = s"http://${host(d)}/d$d"
+  def snip(text: String): String = text.substring(0, math.min(40, text.length))
+
+  private val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z")
+
+  private def ts(d: Long, idx: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(epoch.plusSeconds(d * 100 + idx))
+
+  def pagesForDoc(doc: Doc): Seq[Page] = {
+    val d = doc.doc_id
+    val b = base(d)
+    val sn = snip(doc.text)
+    val snAttr = Entities.encodeAttr(sn)
+    val pages = Seq.newBuilder[Page]
+    var idx = 0
+    def add(url: String, html: String, text: String): Unit = {
+      pages += Page(url, ts(d, idx), html.getBytes("UTF-8"), text, doc.lang)
+      idx += 1
+    }
+
+    // ---- list: CSS scope+attrs, `.next` href paginator, 4 items/page
+    for (k <- 1 to 3) {
+      val items = (1 to 4).map { i =>
+        s"""<li><a class="tit" href="art_${d}_${k}_$i.html" title="$snAttr">Doc $d item $k-$i</a><span class="date">2024-0$k-0$i</span></li>"""
+      }.mkString
+      val pager = if (k < 3) s"""<div class="pager"><a class="next" href="p${k + 1}.html">下一页</a></div>""" else ""
+      add(s"$b/list/p$k.html",
+        s"""<html><head><title>list $d $k</title></head><body><ul id="doclist">$items</ul>$pager</body></html>""",
+        sn)
+    }
+
+    // ---- cmt: xpath scope/leaf, ant-pagination with aria-disabled
+    for (k <- 1 to 3) {
+      val items = (1 to 3).map { i =>
+        s"""<div class="item"><div class="contentInfo"><div class="commentDetail">cmt $d $k-$i $sn</div><div class="commentFooter"><div class="commentTime">2024-0$k-1$i</div></div></div></div>"""
+      }.mkString
+      val disabled = if (k == 3) "true" else "false"
+      add(s"$b/cmt/p$k.html",
+        s"""<html><body><div id="commentModule"><div class="commentList">$items</div><div class="myPagination"><ul><li class=" ant-pagination-next" aria-disabled="$disabled"><a href="p${k + 1}.html">next</a></li></ul></div></div></body></html>""",
+        sn)
+    }
+
+    // ---- cond: CSS pagination gated by GetAttributeValue condition
+    for (k <- 1 to 6) {
+      val items = (1 to 2).map { i =>
+        s"""<li><a class="t" href="c_${d}_${k}_$i.html">Cond $d item $k-$i</a></li>"""
+      }.mkString
+      val disabled = if (k == 5) "true" else "false"
+      add(s"$b/cond/p$k.html",
+        s"""<html><body><ul class="cl">$items</ul><a class="nxt" href="p${k + 1}.html" aria-disabled="$disabled">next</a></body></html>""",
+        sn)
+    }
+
+    // ---- ifr: iframe father scoping (content inlined — static-corpus
+    // semantics per SURVEY.md P12)
+    for (k <- 1 to 3) {
+      val rows = (1 to 3).map { i =>
+        s"""<tr><td><a href="arti_${d}_${k}_$i.html" title="IT $d $k-$i">link$i</a></td><td><span>2024-1$k-0$i</span></td></tr>"""
+      }.mkString
+      val pager = if (k < 3) s"""<a class="next" href="p${k + 1}.html">next</a>""" else ""
+      add(s"$b/ifr/p$k.html",
+        s"""<html><body><h1>doc $d</h1><iframe id="zp"><table id="tbl">$rows</table></iframe>$pager</body></html>""",
+        sn)
+    }
+
+    // ---- more: load-more list growing 4 items per "click" (cumulative)
+    for (k <- 1 to 3) {
+      val items = (1 to 4 * k).map { i =>
+        s"""<div class="item"><div class="tit"><a href="m_${d}_$i.html">More $d item $i</a></div><div class="time">t$i</div></div>"""
+      }.mkString
+      val pager = if (k < 3) s"""<div id="list"><div class="xpage-more-btn look"><a href="s${k + 1}.html">more</a></div></div>""" else ""
+      add(s"$b/more/s$k.html",
+        s"""<html><body><div id="content-list">$items</div>$pager</body></html>""",
+        sn)
+    }
+
+    // ---- feed: tweet cards, full re-extract each scroll state, DOM-attr
+    // (raw, non-absolutized) reads — C3 divergence surface
+    for (k <- 1 to 3) {
+      val items = (1 to 2 + k).map { i =>
+        s"""<div data-testid="cellInnerDiv"><article data-testid="tweet"><div data-testid="tweetText">Tweet $d no $i</div><a href="/u/status/${d}00$i" class="lnk"><time datetime="2024-03-0${i}T00:00:00Z">Mar $i</time></a><div aria-label="${i * 3} replies, ${i * 5} likes" class="counts"></div></article></div>"""
+      }.mkString
+      val pager = if (k < 3) s"""<a class="more" href="s${k + 1}.html">more</a>""" else ""
+      add(s"$b/feed/s$k.html",
+        s"""<html><body>$items$pager</body></html>""",
+        sn)
+    }
+
+    // ---- dyn: paginator selector templated on current pageNo
+    for (k <- 1 to 3) {
+      val items = (1 to 2).map { i => s"""<li>Dyn $d $k-$i</li>""" }.mkString
+      val pager = if (k < 3) s"""<div class="pager"><a title="goto${k + 1}" href="p${k + 1}.html">next</a></div>""" else ""
+      add(s"$b/dyn/p$k.html",
+        s"""<html><body><ul class="dl">$items</ul>$pager</body></html>""",
+        sn)
+    }
+
+    // ---- robots gating targets (host-root paths so `Disallow: /blocked/`
+    // prefix-matches)
+    add(s"http://${host(d)}/ok/d$d.html",
+      s"""<html><body><ul class="rl"><li><a class="r" href="r_$d.html">Robot $d ok</a></li></ul></body></html>""", sn)
+    add(s"http://${host(d)}/blocked/d$d.html",
+      s"""<html><body><ul class="rl"><li><a class="r" href="rb_$d.html">Robot $d blocked</a></li></ul></body></html>""", sn)
+
+    // ---- edge: leniency + zero-drop + empty-record drop + concat-all +
+    // entities + unclosed table
+    add(s"$b/edge/e1.html",
+      s"""<div id=edge><ul class=z><li><p>A$d</p><p>B$d</p><span class="empty"></span></li><li><span class="only-date">2024-01-01</span></li><li><em>nothing relevant</em></li></ul><div class=ent>&lt;x&gt; &amp; &quot;q&quot; &#169;$d</div><table><tr><td>c1</td><td>c2$d</table></div>""",
+      sn)
+
+    // ---- robots.txt, one per host (docs 0..49 own hosts h0..h49)
+    if (d < 50) {
+      add(s"http://${host(d)}/robots.txt",
+        "User-agent: *\nDisallow: /blocked/\n", "")
+    }
+
+    pages.result()
+  }
+
+  private val cache = scala.collection.mutable.Map[String, DataFrame]()
+
+  /** The fixture corpus for an sf dir, cached per session+dir. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", "text", "lang").as[Doc]
+      val df = docs.flatMap(pagesForDoc _).toDF()
+      df.cache()
+      df.count() // materialize once
+      df
+    })
+  }
+
+  /** Seed helper: (seed_id, url) per document for a family path. */
+  def seeds(spark: SparkSession, sfDir: String, firstUrl: Long => String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect().sorted
+      .map(d => (s"d$d", firstUrl(d))).toSeq
+  }
+}

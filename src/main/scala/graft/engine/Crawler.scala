@@ -1,0 +1,249 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract._
+import graft.urls.Urls
+
+/** The Spark-native crawl loop: the reference's fetch → extract → paginate
+  * sequential browser loop (`/root/reference/svcimpl.go:166-503`)
+  * re-expressed as driver-side BFS rounds over a frontier Dataset
+  * (SURVEY.md §3.1 "Spark lifecycle"). Each round is one Catalyst-planned
+  * job:
+  *
+  *   frontier batch → fetch (join against the Common-Crawl-style corpus on
+  *   url; broadcast when the batch is small, SMJ + AQE at scale) →
+  *   politeness schedule → CrawlExtractExpression (one parse per page) →
+  *   posexplode items → successor discovery → per-seed URL-seen anti-join
+  *   (bloom prefilter + cuckoo sketch at scale) → frontier := successors →
+  *   snapshot commit (checkpoint/resume via FrontierStore).
+  *
+  * "Fetch" against a static corpus is a scan-join (SURVEY.md S1); at real
+  * scale the join is replaced by an HTTP fetcher behind the same politeness
+  * schedule. The loop is data-dependent (next url discovered from page N),
+  * hence a driver fixpoint loop like GraphX/Pregel — not Structured
+  * Streaming (SURVEY.md §2.5 streaming row).
+  */
+final class Crawler(
+    spark: SparkSession,
+    corpus: DataFrame,
+    config: Crawler.Config = Crawler.Config()
+) {
+  import Crawler._
+  import spark.implicits._
+
+  private val corpusPages = corpus.select(col("url"), col("html"))
+
+  /** `Rabida.Crawl` (`svc.go:93-101`): paginated crawl over seeds sharing
+    * one Job shape. Default seed list = the job's own link
+    * (`svcimpl.go:256-259` StartPageUrl override included).
+    */
+  def crawl(job: Job, seeds: Seq[(String, String)] = Nil): DataFrame =
+    run(job, seedFrame(job, seeds), scroll = false, mode = JsProperty)
+
+  /** `Rabida.CrawlScroll` (`svc.go:136-144`): load-more crawl with cursor
+    * dedup — only items past the cursor are extracted each round
+    * (`svcimpl_scroll.go:363-376`).
+    */
+  def crawlScroll(job: Job, seeds: Seq[(String, String)] = Nil): DataFrame =
+    run(job, seedFrame(job, seeds), scroll = true, mode = JsProperty)
+
+  /** `Rabida.CrawlScrollSmooth` (`svc.go:171-179`): viewport-scroll crawl,
+    * full re-extraction each round (no cursor; caller dedups,
+    * `svcimpl_scroll_smooth.go:284-287`), DOM-attribute (not JS-property)
+    * reads for generic attrs (C3, `svcimpl_scroll_smooth.go:486-492`).
+    */
+  def crawlScrollSmooth(job: Job, seeds: Seq[(String, String)] = Nil): DataFrame =
+    run(job, seedFrame(job, seeds), scroll = false, mode = DomAttribute)
+
+  private def seedFrame(job: Job, seeds: Seq[(String, String)]): DataFrame = {
+    val effective =
+      if (seeds.nonEmpty) seeds
+      else {
+        val link = if (job.startPageUrl.nonEmpty) job.startPageUrl else job.link
+        Seq(("seed-0", link))
+      }
+    effective.toDF("seed_id", "url")
+      .withColumn("page_no", lit(1))
+      .withColumn("cursor", lit(0))
+  }
+
+  /** Resolve `StartPageBtn` (L7, `svcimpl.go:348-380`): on a static corpus
+    * the click becomes "read the button's href on the seed page and crawl
+    * from there".
+    */
+  private def applyStartPageBtn(job: Job, seeds: DataFrame): DataFrame = {
+    if (job.startPageBtn.css.isEmpty && job.startPageBtn.xpath.isEmpty) return seeds
+    val btnJob = Job(link = "", cssSelector = Selector(css = job.startPageBtn.cssOrXpath, attr = "href"))
+    val x = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0), btnJob, JsProperty, scroll = false)
+    val withBtn = seeds.join(corpusPages, Seq("url"), "left")
+      .withColumn("x", x)
+      .withColumn("btn_url", element_at(col("x.items"), 1))
+      .select(col("seed_id"),
+        when(col("btn_url").isNotNull && length(col("btn_url")) > 0, col("btn_url")).otherwise(col("url")).as("url"),
+        col("page_no"), col("cursor"))
+    withBtn
+  }
+
+  def run(job: Job, seeds0: DataFrame, scroll: Boolean, mode: AttrMode): DataFrame = {
+    val store = config.checkpointDir.map(d => new FrontierStore(d)(spark))
+    val resumed = store.flatMap(_.loadLatest())
+
+    val robotsBc = if (config.respectRobots) Some(broadcastRobots()) else None
+    def robotsFilter(df: DataFrame): DataFrame = robotsBc match {
+      case None => df
+      case Some(bc) =>
+        val allowed = udf { (url: String) =>
+          val h = Urls.host(url)
+          bc.value.get(h).forall(_.isAllowed(Robots.pathOf(url)))
+        }
+        df.filter(allowed(col("url")))
+    }
+
+    var frontier: DataFrame = resumed match {
+      case Some(s) => s.frontier
+      case None    => robotsFilter(applyStartPageBtn(job, seeds0)).localCheckpoint(true)
+    }
+    var seen: DataFrame = resumed match {
+      case Some(s) => s.seen
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("seed_id", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("url_hash", org.apache.spark.sql.types.LongType))))
+    }
+    var round = resumed.map(_.round).getOrElse(0)
+    val perRound = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    val canonicalHash = udf((u: String) => Urls.urlHash(Urls.canonicalize(u)))
+    val hostOf = udf((u: String) => Urls.host(u))
+
+    while (round < config.maxRounds && !frontier.isEmpty) {
+      round += 1
+      val batch = frontier
+        .withColumn("host", hostOf(col("url")))
+        .withColumn("url_hash", canonicalHash(col("url")))
+
+      // fetch = scan-join; broadcast the (small) frontier batch so the big
+      // corpus never shuffles (SURVEY.md S1). At 10^10-frontier scale the
+      // driver flips to SMJ by config; AQE splits skewed hosts.
+      val joinBatch = if (config.broadcastFrontier) broadcast(batch) else batch
+      val fetched = joinBatch.join(corpusPages, Seq("url"), "inner")
+
+      val paced = Politeness.schedule(fetched, config.politeness)
+
+      val x = CrawlExtractExpression(col("html"), col("url"), col("page_no"), col("cursor"),
+        job, mode, scroll)
+      val pages = paced
+        .withColumn("x", x)
+        .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("page_no"), col("cursor"),
+          col("scheduled_ms"), col("fetch_seq"),
+          col("x.items").as("items"), col("x.next_page_url").as("next_page_url"),
+          col("x.n_scope").as("n_scope"), col("x.paginate_goon").as("paginate_goon"),
+          col("x.error").as("error"))
+        .localCheckpoint(true) // truncate lineage; one materialization per round
+
+      perRound += pages
+
+      // mark fetched urls seen (per-seed, matching per-Job independence of
+      // the reference; SURVEY.md §2.5 set-ops row)
+      val newSeen = batch.select(col("seed_id"), col("url_hash"))
+      seen = seen.union(newSeen).distinct().localCheckpoint(true)
+
+      // successor generation: L2 (no paginator → next empty), L3 (condition
+      // goon), L10 (limit abort), self-loop guard, robots, URL-seen anti-join
+      val limitOk =
+        if (job.limit > 0) col("page_no") < lit(job.limit) else lit(true)
+      val rawSucc = pages
+        .filter(col("paginate_goon") && length(col("next_page_url")) > 0 && limitOk)
+        .select(col("seed_id"),
+          col("next_page_url").as("url"),
+          (col("page_no") + 1).as("page_no"),
+          (if (scroll) col("cursor") + col("n_scope") else lit(0)).as("cursor"))
+        .dropDuplicates("seed_id", "url")
+      val succHashed = robotsFilter(rawSucc).withColumn("url_hash", canonicalHash(col("url")))
+
+      // bloom prefilter before the exact anti-join once seen is large —
+      // prunes the shuffle; the anti-join stays the authority (no FPs lost:
+      // bloom has no false negatives, so anything it removes IS seen)
+      val seenCount = seen.count()
+      val preFiltered =
+        if (seenCount > config.bloomThreshold) {
+          val bloom = seen.stat.bloomFilter("url_hash", math.max(seenCount, 1000L), 0.01)
+          val bcBloom = spark.sparkContext.broadcast(bloom)
+          val mightBeSeen = udf((h: Long) => bcBloom.value.mightContain(h))
+          // keep rows that might be seen for the exact check; definitely-new
+          // rows skip the anti-join shuffle entirely
+          val definitelyNew = succHashed.filter(!mightBeSeen(col("url_hash")))
+          val maybeSeen = succHashed.filter(mightBeSeen(col("url_hash")))
+            .join(seen, Seq("seed_id", "url_hash"), "left_anti")
+          definitelyNew.unionByName(maybeSeen)
+        } else succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+
+      frontier = preFiltered.select("seed_id", "url", "page_no", "cursor").localCheckpoint(true)
+
+      store.foreach { st =>
+        val partMetrics = pages.groupBy(spark_partition_id().as("p")).count()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        st.commit(round, frontier, seen,
+          Seq("pages_fetched" -> pages.count(), "frontier_next" -> frontier.count(),
+            "seen_total" -> seenCount),
+          partMetrics)
+      }
+    }
+
+    val all = perRound.reduceOption(_ unionByName _).getOrElse(emptyPages(job))
+    // item explosion: pos continues across scroll rounds via the cursor
+    // (C1: `posexplode` + cursor offset ≡ the reference's nth-child rewrite)
+    all.select(col("seed_id"), col("url"), col("page_no"), col("cursor"),
+        col("next_page_url"), col("error"), col("scheduled_ms"), col("fetch_seq"),
+        posexplode_outer(col("items")).as(Seq("local_pos", "item")))
+      .withColumn("pos", col("cursor") + col("local_pos"))
+      .drop("local_pos")
+  }
+
+  private def emptyPages(job: Job): DataFrame = {
+    import org.apache.spark.sql.types._
+    val itemType = SchemaCompiler.itemType(job.cssSelector)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("seed_id", StringType), StructField("url", StringType),
+        StructField("url_hash", LongType), StructField("host", StringType),
+        StructField("page_no", IntegerType), StructField("cursor", IntegerType),
+        StructField("scheduled_ms", LongType), StructField("fetch_seq", LongType),
+        StructField("items", ArrayType(itemType)), StructField("next_page_url", StringType),
+        StructField("n_scope", IntegerType), StructField("paginate_goon", BooleanType),
+        StructField("error", StringType))))
+  }
+
+  /** Robots rules per host, parsed from corpus rows whose url ends with
+    * "/robots.txt" and broadcast (they are tiny relative to the corpus).
+    */
+  private def broadcastRobots(): org.apache.spark.broadcast.Broadcast[Map[String, Robots.Rules]] = {
+    val rows = corpus.filter(col("url").endsWith("/robots.txt"))
+      .select(col("url"), col("html")).collect()
+    val map = rows.map { r =>
+      val url = r.getString(0)
+      val body = r.get(1) match {
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case s: String      => s
+        case _              => ""
+      }
+      Urls.host(url) -> Robots.parse(body)
+    }.toMap
+    spark.sparkContext.broadcast(map)
+  }
+}
+
+object Crawler {
+  final case class Config(
+      politeness: Politeness.Config = Politeness.Config(),
+      maxRounds: Int = 64,
+      hostBuckets: Int = 64,
+      respectRobots: Boolean = false,
+      broadcastFrontier: Boolean = true,
+      bloomThreshold: Long = 100000L,
+      checkpointDir: Option[String] = None
+  ) extends Serializable
+}

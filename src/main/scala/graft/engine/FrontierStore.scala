@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Iceberg-style snapshot layer for the crawl frontier + URL-seen state —
+  * hand-rolled because the sandbox ships no Iceberg jar (SURVEY.md §4):
+  * immutable parquet data dirs + an atomically-renamed JSON manifest per
+  * snapshot, checkpoint/resume by reopening the latest manifest, and
+  * per-partition lineage metrics embedded in each manifest (north_star:
+  * "snapshot-based checkpoint/resume and per-partition lineage metrics").
+  *
+  * Commit protocol (single-writer, crash-safe):
+  *   1. write `data/round=N/frontier` + `data/round=N/seen` parquet,
+  *   2. write `manifest-N.json.tmp` with the file list + metrics,
+  *   3. ATOMIC_MOVE to `manifest-N.json`, then to `latest.json`.
+  * A reader never observes a half-written snapshot; re-running round N is
+  * idempotent (the URL-seen anti-join absorbs replays, SURVEY.md §7 #4).
+  */
+final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
+
+  Files.createDirectories(Paths.get(dir))
+
+  final case class Snapshot(round: Int, frontier: DataFrame, seen: DataFrame)
+
+  def commit(round: Int, frontier: DataFrame, seen: DataFrame, metrics: Seq[(String, Long)],
+             partitionMetrics: Seq[(Int, Long)] = Nil): Unit = {
+    val base = s"$dir/data/round=$round"
+    frontier.write.mode(SaveMode.Overwrite).parquet(s"$base/frontier")
+    seen.write.mode(SaveMode.Overwrite).parquet(s"$base/seen")
+    val filesList = listParquet(s"$base/frontier") ++ listParquet(s"$base/seen")
+    val json = manifestJson(round, filesList, metrics, partitionMetrics)
+    val tmp = Paths.get(s"$dir/manifest-$round.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$dir/manifest-$round.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp2 = Paths.get(s"$dir/latest.json.tmp")
+    Files.write(tmp2, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp2, Paths.get(s"$dir/latest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def loadLatest(): Option[Snapshot] = {
+    val latest = Paths.get(s"$dir/latest.json")
+    if (!Files.exists(latest)) None
+    else {
+      val json = new String(Files.readAllBytes(latest), StandardCharsets.UTF_8)
+      val round = """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      round.map { r =>
+        Snapshot(r,
+          spark.read.parquet(s"$dir/data/round=$r/frontier"),
+          spark.read.parquet(s"$dir/data/round=$r/seen"))
+      }
+    }
+  }
+
+  def manifestRounds(): Seq[Int] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => """manifest-(\d+)\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .sorted.toSeq
+  }
+
+  private def listParquet(path: String): Seq[String] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+  }
+
+  private def manifestJson(round: Int, files: Seq[String], metrics: Seq[(String, Long)],
+                           partitionMetrics: Seq[(Int, Long)]): String = {
+    val fs = files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    val ms = metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val pm = partitionMetrics.map { case (p, n) => s"""{"partition":$p,"rows":$n}""" }.mkString("[", ",", "]")
+    s"""{"format":"graft-frontier-v1","round":$round,"committed_at":${System.currentTimeMillis()},"files":$fs,"metrics":$ms,"partition_lineage":$pm}"""
+  }
+}

@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Per-host politeness scheduler.
+  *
+  * The reference paces with `DelaySleep`: a uniform-random sleep in
+  * `[Delay[0], Delay[1]]` between every page (`/root/reference/
+  * svcimpl.go:666-675`, `lib/base.go:68-73`), and *declares*
+  * `Concurrency` / `ThrottleNum` / `ThrottleDuration` knobs it never
+  * implemented (`config/config.go:17-22`, TODO). We implement the declared
+  * contract with the same knob names (SURVEY.md §2.1 L11):
+  *
+  *   - per-host serialization (reference Concurrency=1 per browser),
+  *   - inter-request gap uniform in [delayMin, delayMax], deterministic
+  *     jitter seeded from the url hash (reproducible crawls),
+  *   - throttle floor: at most throttleNum requests per throttleDuration
+  *     per host.
+  *
+  * Implemented declaratively: a cumulative-sum window over
+  * `partitionBy(host)` assigns each request a virtual `scheduled_ms`
+  * offset — whole-stage-codegen'd, no mapPartitions, no driver loop. A real
+  * fetcher would sleep to its `scheduled_ms`; on the static corpus the
+  * column is the observable pacing contract (asserted in tests against the
+  * same bounds the reference's sleeps guarantee).
+  *
+  * Scale note (SURVEY.md §7 hard part 6): the window shuffles by host ONLY
+  * when politeness is on; hot hosts are already split upstream by the
+  * salted repartition in the crawler, and executor slots stay busy because
+  * a partition packs many hosts (hash partitioning) — one host's gap
+  * overlaps other hosts' work.
+  */
+object Politeness {
+
+  final case class Config(
+      delayMinMs: Long = 0L,
+      delayMaxMs: Long = 0L,
+      concurrency: Int = 1,
+      throttleNum: Int = 0,
+      throttleDurationMs: Long = 1000L
+  ) extends Serializable {
+    def enabled: Boolean = delayMinMs > 0 || delayMaxMs > 0 || throttleNum > 0
+  }
+
+  /** Deterministic per-request jitter in [delayMin, delayMax]: uniform from
+    * the low 32 bits of the url-hash (parity with `lib.RandDuration`'s
+    * uniform draw, made reproducible).
+    */
+  private def gapMs(conf: Config, urlHash: Column): Column = {
+    if (conf.delayMaxMs > conf.delayMinMs) {
+      val span = conf.delayMaxMs - conf.delayMinMs + 1
+      lit(conf.delayMinMs) + pmod(urlHash, lit(span)).cast("long")
+    } else lit(conf.delayMinMs)
+  }
+
+  /** Adds `scheduled_ms` (virtual emission time per host, ms from crawl
+    * start of round) and `fetch_seq` (0-based per-host order).
+    */
+  def schedule(df: DataFrame, conf: Config): DataFrame = {
+    if (!conf.enabled) return df.withColumn("scheduled_ms", lit(0L)).withColumn("fetch_seq", lit(0L))
+    val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    val seq = row_number().over(w).cast("long") - 1
+    val cumGap = sum(gapMs(conf, col("url_hash"))).over(
+      Window.partitionBy(col("host")).orderBy(col("url"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - gapMs(conf, col("url_hash"))
+    val withSeq = df.withColumn("fetch_seq", seq).withColumn("delay_cum_ms", cumGap)
+    val throttled =
+      if (conf.throttleNum > 0) {
+        // floor: request k of a host may not start before
+        // (k / throttleNum) * throttleDuration
+        withSeq.withColumn("throttle_floor_ms",
+          (col("fetch_seq") / lit(conf.throttleNum.toLong)).cast("long") * lit(conf.throttleDurationMs))
+      } else withSeq.withColumn("throttle_floor_ms", lit(0L))
+    throttled
+      .withColumn("scheduled_ms", greatest(col("delay_cum_ms"), col("throttle_floor_ms")))
+      .drop("delay_cum_ms", "throttle_floor_ms")
+  }
+}

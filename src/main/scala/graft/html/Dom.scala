@@ -1,0 +1,131 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal mutable DOM for the from-scratch lenient HTML parser.
+  *
+  * Mirrors the node shape the reference operates on: chromedp's CDP node tree
+  * for the CSS path (`/root/reference/svcimpl.go:690-798`) and
+  * `golang.org/x/net/html.Node` for the XPath path
+  * (`/root/reference/svcimpl.go:890-908`). One parse per page; the tree is
+  * built once inside the extraction UDF and traversed read-only afterwards.
+  */
+sealed trait HNode {
+  var parent: HElem = _
+}
+
+final class HText(val data: String) extends HNode
+
+final class HComment(val data: String) extends HNode
+
+final class HElem(
+    val tag: String,
+    val attrs: Map[String, String],
+    val attrOrder: Vector[String]
+) extends HNode {
+  val children: ArrayBuffer[HNode] = ArrayBuffer.empty
+
+  def append(n: HNode): Unit = { n.parent = this; children += n }
+
+  def attr(name: String): Option[String] = attrs.get(name)
+
+  def id: Option[String] = attrs.get("id")
+
+  def classes: Set[String] =
+    attrs.get("class") match {
+      case Some(c) => c.split("\\s+").iterator.filter(_.nonEmpty).toSet
+      case None    => Set.empty
+    }
+
+  def childElements: Vector[HElem] =
+    children.iterator.collect { case e: HElem => e }.toVector
+
+  /** 1-based position among element siblings (CSS :nth-child). */
+  def elemIndex: Int = {
+    if (parent == null) 1
+    else {
+      var i = 0
+      var pos = 0
+      val cs = parent.children
+      var found = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case e: HElem =>
+            pos += 1
+            if (e eq this) { found = pos; i = cs.length }
+          case _ =>
+        }
+        i += 1
+      }
+      if (found == 0) 1 else found
+    }
+  }
+
+  /** 1-based position from the end among element siblings (:nth-last-child). */
+  def elemIndexFromEnd: Int = {
+    if (parent == null) 1
+    else {
+      val sibs = parent.childElements
+      sibs.length - sibs.indexWhere(_ eq this)
+    }
+  }
+
+  /** All descendant elements in document order, excluding self. */
+  def descendants: Iterator[HElem] = new Iterator[HElem] {
+    private val stack = scala.collection.mutable.Stack[HNode]()
+    children.reverseIterator.foreach(stack.push)
+    private var nextElem: HElem = advance()
+    private def advance(): HElem = {
+      while (stack.nonEmpty) {
+        stack.pop() match {
+          case e: HElem =>
+            e.children.reverseIterator.foreach(stack.push)
+            return e
+          case _ =>
+        }
+      }
+      null
+    }
+    def hasNext: Boolean = nextElem != null
+    def next(): HElem = { val r = nextElem; nextElem = advance(); r }
+  }
+
+  /** Self + descendants in document order. */
+  def selfAndDescendants: Iterator[HElem] = Iterator.single(this) ++ descendants
+
+  /** Ancestors from parent up to root. */
+  def ancestors: Iterator[HElem] = new Iterator[HElem] {
+    private var cur = parent
+    def hasNext: Boolean = cur != null
+    def next(): HElem = { val r = cur; cur = r.parent; r }
+  }
+
+  /** Previous element sibling, if any. */
+  def prevElemSibling: Option[HElem] = {
+    if (parent == null) None
+    else {
+      var prev: HElem = null
+      val it = parent.children.iterator
+      while (it.hasNext) {
+        it.next() match {
+          case e: HElem if e eq this => return Option(prev)
+          case e: HElem              => prev = e
+          case _                     =>
+        }
+      }
+      None
+    }
+  }
+}
+
+object HElem {
+  def apply(tag: String, attrs: Seq[(String, String)] = Nil): HElem = {
+    // First occurrence of a duplicated attribute wins (HTML5 spec).
+    val order = ArrayBuffer[String]()
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    attrs.foreach { case (k, v) =>
+      if (!m.contains(k)) { m(k) = v; order += k }
+    }
+    new HElem(tag, m.toMap, order.toVector)
+  }
+}

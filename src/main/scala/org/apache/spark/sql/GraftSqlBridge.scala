@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Tiny shim over Spark's `private[sql]` Column↔Expression bridge
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), the supported way for
+  * extension libraries to expose custom Catalyst expressions as Columns on
+  * Spark 4.x.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
