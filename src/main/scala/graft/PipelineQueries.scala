@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Training-data pipeline + relational queries over the driver tables. */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ------------------------------------------------------------- dedup
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(docs(spark, sfDir))
+
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, sfDir), k = 3, threshold = 0.8)
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, sfDir), k = 3, threshold = 0.8)
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, sfDir), maxHamming = 6)
+
+  // ------------------------------------------------------------- similarity
+
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(spark, sfDir), numQueries = 20, k = 3)
+
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.lshTopK(emb(spark, sfDir), numQueries = 20, k = 3)
+
+  def embNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDupPairs(emb(spark, sfDir), threshold = 0.45)
+
+  // ------------------------------------------------------------- text
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.langId(docs(spark, sfDir))
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.qualityScore(docs(spark, sfDir))
+
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.tokenCounts(docs(spark, sfDir))
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.fingerprint(docs(spark, sfDir))
+
+  // ------------------------------------------------------------- multimodal
+
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.mediaMeta(spark, docs(spark, sfDir))
+
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFrames(spark, docs(spark, sfDir))
+
+  // ------------------------------------------------------------- relational
+
+  /** TPC-H Q1-shaped pricing summary (partial-agg friendly, codegen'd). */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        // exact integer cents — immune to float summation-order noise in
+        // the cross-engine oracle compare
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast dimension join: revenue per market segment. */
+  def qJoinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Window top-k: 3 largest orders per customer. */
+  def qWindowTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("long").as("rk"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Event-time tumbling window aggregation over the events stream table —
+    * batch-equivalent of the Structured Streaming query proven in
+    * StreamingSpec (same plan shape: window + groupBy + agg).
+    */
+  def qEventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_cents"))
+      .orderBy("win_start", "event_type")
+}

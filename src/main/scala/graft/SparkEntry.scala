@@ -32,7 +32,26 @@ object SparkEntry {
     "crawl_entities" -> (CrawlQueries.crawlEntities(_, _)),
     "url_seen" -> (CrawlQueries.urlSeen(_, _)),
     "politeness_schedule" -> (CrawlQueries.politenessSchedule(_, _)),
-    "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _))
+    "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
+    // --- training-data pipeline ops ---
+    "dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
+    "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard(_, _)),
+    "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh(_, _)),
+    "dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),
+    "ann_topk" -> (PipelineQueries.annTopK(_, _)),
+    "ann_lsh" -> (PipelineQueries.annLsh(_, _)),
+    "emb_near_dup" -> (PipelineQueries.embNearDup(_, _)),
+    "lang_id" -> (PipelineQueries.langId(_, _)),
+    "quality_score" -> (PipelineQueries.qualityScore(_, _)),
+    "token_count" -> (PipelineQueries.tokenCount(_, _)),
+    "doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
+    "media_meta" -> (PipelineQueries.mediaMeta(_, _)),
+    "frame_sample" -> (PipelineQueries.frameSample(_, _)),
+    // --- relational / windowed ---
+    "q1_agg" -> (PipelineQueries.q1Agg(_, _)),
+    "q_join_broadcast" -> (PipelineQueries.qJoinBroadcast(_, _)),
+    "q_window_topk" -> (PipelineQueries.qWindowTopK(_, _)),
+    "q_events_window" -> (PipelineQueries.qEventsWindow(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,6 +135,122 @@ object SparkEntry {
         |FROM pages ORDER BY 1,2""".stripMargin,
     "crawl_metrics" ->
       """SELECT 'h'||(doc_id%50)||'.test' AS host, count(*)*3 AS pages
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY text ORDER BY 1",
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // LSH banding at 128 perms / 32 bands has recall ≈ 1-5e-8 at J=0.8 and
+    // candidates are re-verified with exact Jaccard — same answer as the
+    // exact operator.
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "ann_topk" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS q, b.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id)
+        |SELECT q AS vec_id, n_id AS neighbor_id, rank FROM scored WHERE rank <= 3 ORDER BY 1,3""".stripMargin,
+    "emb_near_dup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45 ORDER BY 1,2""".stripMargin,
+    "lang_id" ->
+      """WITH p AS (SELECT doc_id, ' '||text||' ' AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST((length(t)-length(replace(t,' der ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' die ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' und ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' ist ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' nicht ','')))/7 AS BIGINT) AS score_de,
+        |  CAST((length(t)-length(replace(t,' the ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' and ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' of ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' to ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' a ','')))/3 AS BIGINT) AS score_en,
+        |  CAST((length(t)-length(replace(t,' el ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' la ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' de ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' que ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' y ','')))/3 AS BIGINT) AS score_es,
+        |  CAST((length(t)-length(replace(t,' le ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' la ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' et ','')))/4 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' les ','')))/5 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,' des ','')))/5 AS BIGINT) AS score_fr,
+        |  CAST((length(t)-length(replace(t,'的','')))/1 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,'是','')))/1 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,'了','')))/1 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,'在','')))/1 AS BIGINT)
+        |  + CAST((length(t)-length(replace(t,'我','')))/1 AS BIGINT) AS score_zh
+        |  FROM p)
+        |SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+        |  CASE WHEN score_de = greatest(score_de,score_en,score_es,score_fr,score_zh) THEN 'de'
+        |       WHEN score_en = greatest(score_de,score_en,score_es,score_fr,score_zh) THEN 'en'
+        |       WHEN score_es = greatest(score_de,score_en,score_es,score_fr,score_zh) THEN 'es'
+        |       WHEN score_fr = greatest(score_de,score_en,score_es,score_fr,score_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY 1""".stripMargin,
+    "quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars_q,
+        |    CAST(length(trim(text)) - length(replace(trim(text),' ','')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(length(trim(text)) - length(translate(trim(text), '.,;:!?''"()', '')) AS BIGINT) AS n_punct,
+        |    CAST((length(' '||trim(text)||' ')-length(replace(' '||trim(text)||' ',' the ','')))/5 AS BIGINT)
+        |    + CAST((length(' '||trim(text)||' ')-length(replace(' '||trim(text)||' ',' a ','')))/3 AS BIGINT)
+        |    + CAST((length(' '||trim(text)||' ')-length(replace(' '||trim(text)||' ',' of ','')))/4 AS BIGINT) AS stopword_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars_q, n_tokens, n_punct, stopword_hits,
+        |  CAST(CASE WHEN n_tokens < 10 THEN 0 WHEN n_tokens < 25 THEN 1
+        |       WHEN stopword_hits > 0 THEN 3 ELSE 2 END AS BIGINT) AS quality_bucket
+        |FROM q ORDER BY 1""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(trim(text)) - length(replace(trim(text),' ','')) + 1 AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY 1""".stripMargin,
+    "media_meta" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CASE n%3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+        |  CAST(320 + n%320 AS BIGINT) AS width, CAST(240 + n%240 AS BIGINT) AS height,
+        |  CAST(n%24 + 1 AS BIGINT) AS frames
+        |FROM m ORDER BY 1""".stripMargin,
+    "frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, CAST(unnest(generate_series(0, CAST(n%24 AS BIGINT), 7)) AS BIGINT) AS frame_idx
+        |FROM m WHERE n%3 = 2 ORDER BY 1,2""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey=c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |FROM orders QUALIFY rk <= 3 ORDER BY 1,3""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
+
+  private val ngramJaccardOracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, substr(text, CAST(unnest(generate_series(1, length(text)-2)) AS INT), 3) AS shingle
+      |    FROM documents)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT a_id, b_id FROM inter
+      |JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+      |WHERE i >= 0.8*(sa.sz+sb.sz-i) ORDER BY 1,2""".stripMargin
 }

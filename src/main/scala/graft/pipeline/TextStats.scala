@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`.
+  * Everything except the fingerprint is pure `functions._` — whole-stage
+  * codegen end to end, no UDF in the scan path.
+  */
+object TextStats {
+
+  /** Non-overlapping occurrence count of literal `pat` — the
+    * length-difference trick, chosen because it is reproducible in any
+    * engine (the DuckDB oracle uses the identical formula).
+    */
+  def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(replace(c, lit(pat)))) / pat.length).cast("long")
+
+  /** Stopword-profile language ID: score per language = hits of its top
+    * function words (space-delimited to avoid substring noise); prediction
+    * = argmax with fixed tie order (de < en < es < fr < zh). A pragmatic
+    * n-gram-free heuristic whose exact arithmetic an oracle can mirror.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht "),
+    "en" -> Seq(" the ", " and ", " of ", " to ", " a "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " y "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    langProfiles.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(padded, w)).reduce(_ + _)
+    }
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langScores(col("text"))
+    // argmax via greatest + chained when (ties resolve in profile order)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      when(acc.isNull && s === best, lit(lang)).otherwise(acc)
+    }
+    val outCols = Seq(col("doc_id")) ++
+      scores.map { case (l, s) => s.as(s"score_$l") } :+ pred.as("pred_lang")
+    docs.select(outCols: _*).orderBy("doc_id")
+  }
+
+  /** Quality-scoring signals: length, token count, mean token length,
+    * punctuation count, stopword hits, plus an integer quality bucket
+    * (0-3) from fixed thresholds — floats kept out of the contract.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = trim(col("text"))
+    val nChars = length(t).cast("long")
+    val nTokens = (nChars - length(replace(t, lit(" "))).cast("long") + 1).cast("long")
+    val nPunct = (length(t) - length(translate(t, ".,;:!?'\"()", ""))).cast("long")
+    val stop = occurrences(concat(lit(" "), t, lit(" ")), " the ") +
+      occurrences(concat(lit(" "), t, lit(" ")), " a ") +
+      occurrences(concat(lit(" "), t, lit(" ")), " of ")
+    val bucket = when(nTokens < 10, 0)
+      .when(nTokens < 25, 1)
+      .when(stop > 0, 3)
+      .otherwise(2)
+    docs.select(col("doc_id"), nChars.as("n_chars_q"), nTokens.as("n_tokens"),
+        nPunct.as("n_punct"), stop.as("stopword_hits"), bucket.cast("long").as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single other non-space) — the standard
+    * pre-tokenizer shape.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val t = trim(col("text"))
+    val ws = (length(t) - length(replace(t, lit(" "))) + 1).cast("long")
+    val bpe = size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")).cast("long")
+    docs.select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens")).orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint (Rabin-Karp over codepoints, mod
+    * 2^61-1) + winnowing-lite: min hash of each 8-gram window. One pass
+    * per row; deterministic. Not SQL-expressible → rows-only check.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val p = (1L << 31) - 1 // Mersenne prime; h*base+c stays < 2^40, no overflow
+    val base = 257L
+    val f = udf { (text: String) =>
+      var h = 0L
+      var i = 0
+      while (i < text.length) {
+        h = (h * base + text.charAt(i)) % p
+        i += 1
+      }
+      h
+    }
+    val wmin = udf { (text: String) =>
+      if (text.length < 8) 0L
+      else {
+        var best = Long.MaxValue
+        var i = 0
+        while (i + 8 <= text.length) {
+          var h = 0xcbf29ce484222325L
+          var j = i
+          while (j < i + 8) { h ^= text.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+          if (h < best) best = h
+          i += 1
+        }
+        best
+      }
+    }
+    docs.select(col("doc_id"), f(col("text")).as("doc_hash"), wmin(col("text")).as("win_min"))
+      .orderBy("doc_id")
+  }
+}

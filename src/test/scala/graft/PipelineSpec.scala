@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val out = Dedup.exact(docs)
+    assert(out.count() == docs.select("text").distinct().count())
+    assert(out.agg(sum("n")).head.getLong(0) == docs.count())
+  }
+
+  test("minhash LSH pairs == exact ngram jaccard pairs (verified recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-dup docs collide within hamming budget") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash at a loose budget must recover most text near-dups
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"simhash recall $recall over ${exact.size} true pairs")
+  }
+
+  test("ann: brute force is exact; lsh multi-probe recalls most of top-3") {
+    val bf = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size == 60) // 20 queries x top 3
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    // 8 tables x 4 bits on weakly-clustered vectors (top-3 at cos≈0.4):
+    // theory 1-(1-p^4)^8 ≈ 0.8 at p≈0.65
+    assert(recall >= 0.5, s"lsh recall $recall")
+  }
+
+  test("lang_id deterministic + scores consistent") {
+    val out = TextStats.langId(docs).collect()
+    assert(out.length == docs.count())
+    assert(out.forall(r => !r.isNullAt(6)))
+  }
+
+  test("fingerprint is stable across runs") {
+    val a = TextStats.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextStats.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("multimodal: payload bytes drive stubbed meta; frame sampling bounded") {
+    val meta = Multimodal.mediaMeta(spark, docs).collect()
+    assert(meta.length == docs.count())
+    assert(meta.forall(r => Set("img", "audio", "video").contains(r.getString(2))))
+    val frames = Multimodal.sampleFrames(spark, docs).collect()
+    assert(frames.forall(_.getLong(1) % 7 == 0))
+  }
+
+  test("cuckoo filter: inserts are found, absent keys mostly not") {
+    val f = graft.engine.CuckooFilter.create(10000)
+    val keys = (1L to 5000L).map(i => i * 0x9e3779b97f4a7c15L)
+    keys.foreach(k => assert(f.insert(k)))
+    assert(keys.forall(f.contains))
+    val absent = (100001L to 101000L).map(i => i * 0x9e3779b97f4a7c15L)
+    val fp = absent.count(f.contains)
+    assert(fp < 20, s"cuckoo false-positive count $fp/1000")
+    // round-trip serialization
+    val f2 = graft.engine.CuckooFilter.deserialize(f.serialize())
+    assert(keys.forall(f2.contains))
+  }
+
+  test("robots parser: groups, allow-overrides, longest-match") {
+    import graft.engine.Robots
+    val r = Robots.parse(
+      """User-agent: googlebot
+        |Disallow: /g/
+        |
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |""".stripMargin)
+    assert(r.isAllowed("/public/x"))
+    assert(!r.isAllowed("/private/x"))
+    assert(r.isAllowed("/private/ok/x"))
+    assert(r.isAllowed("/g/only-for-googlebot"))
+  }
+}
