@@ -119,7 +119,13 @@ final class Crawler(
     val canonicalHash = udf((u: String) => Urls.urlHash(Urls.canonicalize(u)))
     val hostOf = udf((u: String) => Urls.host(u))
 
-    while (round < config.maxRounds && !frontier.isEmpty) {
+    // driver-side running size of the seen set — avoids a count() job per
+    // round (successor batches are disjoint from seen by construction, so
+    // the estimate is exact)
+    var seenEstimate = if (resumed.isDefined) seen.count() else 0L
+    var frontierCount = frontier.count()
+
+    while (round < config.maxRounds && frontierCount > 0) {
       round += 1
       val batch = frontier
         .withColumn("host", hostOf(col("url")))
@@ -135,21 +141,28 @@ final class Crawler(
 
       val x = CrawlExtractExpression(col("html"), col("url"), col("page_no"), col("cursor"),
         job, mode, scroll)
-      val pages = paced
-        .withColumn("x", x)
+      // checkpoint BEFORE projecting struct fields: guarantees exactly ONE
+      // extraction (one HTML parse) per page — projecting fields first
+      // would let CollapseProject clone the expression per field
+      val materialized = paced
+        .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("page_no"),
+          col("cursor"), col("scheduled_ms"), col("fetch_seq"), x.as("x"))
+        .localCheckpoint(true)
+      val pages = materialized
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("page_no"), col("cursor"),
           col("scheduled_ms"), col("fetch_seq"),
           col("x.items").as("items"), col("x.next_page_url").as("next_page_url"),
           col("x.n_scope").as("n_scope"), col("x.paginate_goon").as("paginate_goon"),
           col("x.error").as("error"))
-        .localCheckpoint(true) // truncate lineage; one materialization per round
 
       perRound += pages
 
       // mark fetched urls seen (per-seed, matching per-Job independence of
-      // the reference; SURVEY.md §2.5 set-ops row)
+      // the reference; SURVEY.md §2.5 set-ops row). Batches are disjoint
+      // from prior seen (anti-joined at successor time) → plain union.
       val newSeen = batch.select(col("seed_id"), col("url_hash"))
-      seen = seen.union(newSeen).distinct().localCheckpoint(true)
+      seen = seen.union(newSeen).localCheckpoint(true)
+      seenEstimate += frontierCount
 
       // successor generation: L2 (no paginator → next empty), L3 (condition
       // goon), L10 (limit abort), self-loop guard, robots, URL-seen anti-join
@@ -167,10 +180,9 @@ final class Crawler(
       // bloom prefilter before the exact anti-join once seen is large —
       // prunes the shuffle; the anti-join stays the authority (no FPs lost:
       // bloom has no false negatives, so anything it removes IS seen)
-      val seenCount = seen.count()
       val preFiltered =
-        if (seenCount > config.bloomThreshold) {
-          val bloom = seen.stat.bloomFilter("url_hash", math.max(seenCount, 1000L), 0.01)
+        if (seenEstimate > config.bloomThreshold) {
+          val bloom = seen.stat.bloomFilter("url_hash", math.max(seenEstimate, 1000L), 0.01)
           val bcBloom = spark.sparkContext.broadcast(bloom)
           val mightBeSeen = udf((h: Long) => bcBloom.value.mightContain(h))
           // keep rows that might be seen for the exact check; definitely-new
@@ -182,13 +194,14 @@ final class Crawler(
         } else succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
 
       frontier = preFiltered.select("seed_id", "url", "page_no", "cursor").localCheckpoint(true)
+      frontierCount = frontier.count()
 
       store.foreach { st =>
         val partMetrics = pages.groupBy(spark_partition_id().as("p")).count()
           .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
         st.commit(round, frontier, seen,
-          Seq("pages_fetched" -> pages.count(), "frontier_next" -> frontier.count(),
-            "seen_total" -> seenCount),
+          Seq("pages_fetched" -> pages.count(), "frontier_next" -> frontierCount,
+            "seen_total" -> seenEstimate),
           partMetrics)
       }
     }
@@ -243,7 +256,10 @@ object Crawler {
       hostBuckets: Int = 64,
       respectRobots: Boolean = false,
       broadcastFrontier: Boolean = true,
-      bloomThreshold: Long = 100000L,
+      // bloom prefilter only pays once the exact anti-join's shuffle is the
+      // bottleneck (≈10^7+ seen urls); below that the extra bloom-build
+      // action + double scan per round costs more than it saves
+      bloomThreshold: Long = 10000000L,
       checkpointDir: Option[String] = None
   ) extends Serializable
 }
