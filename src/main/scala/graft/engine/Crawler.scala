@@ -68,6 +68,22 @@ final class Crawler(
       .withColumn("cursor", lit(0))
   }
 
+  private val canonicalHash = udf((u: String) => Urls.urlHash(Urls.canonicalize(u)))
+  private val hostOf = udf((u: String) => Urls.host(u))
+
+  /** FIXTURES.md frontier schema: add (host, url_hash, host_bucket,
+    * priority) to a (seed_id, url, page_no, cursor) frame — computed once
+    * at insert, not per round.
+    */
+  private def enrich(df: DataFrame, priority: org.apache.spark.sql.Column): DataFrame = {
+    val buckets = config.hostBuckets
+    val bucketOf = udf((h: String) => Urls.hostBucket(h, buckets))
+    df.withColumn("host", hostOf(col("url")))
+      .withColumn("url_hash", canonicalHash(col("url")))
+      .withColumn("host_bucket", bucketOf(col("host")))
+      .withColumn("priority", priority)
+  }
+
   /** Resolve `StartPageBtn` (L7, `svcimpl.go:348-380`): on a static corpus
     * the click becomes "read the button's href on the seed page and crawl
     * from there".
@@ -102,7 +118,7 @@ final class Crawler(
 
     var frontier: DataFrame = resumed match {
       case Some(s) => s.frontier
-      case None    => robotsFilter(applyStartPageBtn(job, seeds0)).localCheckpoint(true)
+      case None    => enrich(robotsFilter(applyStartPageBtn(job, seeds0)), lit(0)).localCheckpoint(true)
     }
     var seen: DataFrame = resumed match {
       case Some(s) => s.seen
@@ -116,26 +132,40 @@ final class Crawler(
     var round = resumed.map(_.round).getOrElse(0)
     val perRound = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
-    val canonicalHash = udf((u: String) => Urls.urlHash(Urls.canonicalize(u)))
-    val hostOf = udf((u: String) => Urls.host(u))
-
     // driver-side running size of the seen set — avoids a count() job per
     // round (successor batches are disjoint from seen by construction, so
     // the estimate is exact)
     var seenEstimate = if (resumed.isDefined) seen.count() else 0L
     var frontierCount = frontier.count()
 
+    // S6: deterministic per-url user-agent assignment from a broadcast
+    // table (reference draws randomly from an embedded dataset,
+    // `useragent/random.go:8-22`; seeded-by-url keeps crawls reproducible)
+    val uas = UserAgents.pool
+    val uaCol = element_at(typedLit(uas), (pmod(col("url_hash"), lit(uas.length)) + 1).cast("int"))
+
     while (round < config.maxRounds && frontierCount > 0) {
       round += 1
-      val batch = frontier
-        .withColumn("host", hostOf(col("url")))
-        .withColumn("url_hash", canonicalHash(col("url")))
+      // priority frontier: when a batch limit is set, take the highest-
+      // priority slice ordered by (priority, host_bucket) — the north-star
+      // frontier discipline; default is the full lockstep BFS round
+      val (batch0, remainder, batchCount) = config.batchLimit match {
+        case Some(n) if frontierCount > n =>
+          val b = frontier.orderBy(col("priority"), col("host_bucket")).limit(n.toInt)
+            .localCheckpoint(true)
+          val rest = frontier.join(b.select("seed_id", "url"), Seq("seed_id", "url"), "left_anti")
+          (b, rest, n)
+        case _ => (frontier, spark.emptyDataFrame, frontierCount)
+      }
+      val batch = batch0
 
       // fetch = scan-join; broadcast the (small) frontier batch so the big
       // corpus never shuffles (SURVEY.md S1). At 10^10-frontier scale the
       // driver flips to SMJ by config; AQE splits skewed hosts.
       val joinBatch = if (config.broadcastFrontier) broadcast(batch) else batch
       val fetched = joinBatch.join(corpusPages, Seq("url"), "inner")
+        .withColumn("ua", uaCol)
+        .withColumn("cookies", lit(job.enableCookies.rawCookies)) // S4 fetch metadata
 
       val paced = Politeness.schedule(fetched, config.politeness)
 
@@ -145,12 +175,14 @@ final class Crawler(
       // extraction (one HTML parse) per page — projecting fields first
       // would let CollapseProject clone the expression per field
       val materialized = paced
-        .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("page_no"),
-          col("cursor"), col("scheduled_ms"), col("fetch_seq"), x.as("x"))
+        .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
+          col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
+          col("ua"), col("cookies"), x.as("x"))
         .localCheckpoint(true)
       val pages = materialized
-        .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("page_no"), col("cursor"),
-          col("scheduled_ms"), col("fetch_seq"),
+        .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
+          col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
+          col("ua"), col("cookies"),
           col("x.items").as("items"), col("x.next_page_url").as("next_page_url"),
           col("x.n_scope").as("n_scope"), col("x.paginate_goon").as("paginate_goon"),
           col("x.error").as("error"))
@@ -162,7 +194,7 @@ final class Crawler(
       // from prior seen (anti-joined at successor time) → plain union.
       val newSeen = batch.select(col("seed_id"), col("url_hash"))
       seen = seen.union(newSeen).localCheckpoint(true)
-      seenEstimate += frontierCount
+      seenEstimate += batchCount
 
       // successor generation: L2 (no paginator → next empty), L3 (condition
       // goon), L10 (limit abort), self-loop guard, robots, URL-seen anti-join
@@ -173,9 +205,10 @@ final class Crawler(
         .select(col("seed_id"),
           col("next_page_url").as("url"),
           (col("page_no") + 1).as("page_no"),
-          (if (scroll) col("cursor") + col("n_scope") else lit(0)).as("cursor"))
+          (if (scroll) col("cursor") + col("n_scope") else lit(0)).as("cursor"),
+          (col("priority") + 1).as("succ_priority"))
         .dropDuplicates("seed_id", "url")
-      val succHashed = robotsFilter(rawSucc).withColumn("url_hash", canonicalHash(col("url")))
+      val succHashed = enrich(robotsFilter(rawSucc), col("succ_priority")).drop("succ_priority")
 
       // bloom prefilter before the exact anti-join once seen is large —
       // prunes the shuffle; the anti-join stays the authority (no FPs lost:
@@ -193,7 +226,10 @@ final class Crawler(
           definitelyNew.unionByName(maybeSeen)
         } else succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
 
-      frontier = preFiltered.select("seed_id", "url", "page_no", "cursor").localCheckpoint(true)
+      val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
+        "host", "url_hash", "host_bucket", "priority")
+      frontier = (if (batchCount < frontierCount)
+        remainder.unionByName(succ) else succ).localCheckpoint(true)
       frontierCount = frontier.count()
 
       store.foreach { st =>
@@ -211,6 +247,7 @@ final class Crawler(
     // (C1: `posexplode` + cursor offset ≡ the reference's nth-child rewrite)
     all.select(col("seed_id"), col("url"), col("page_no"), col("cursor"),
         col("next_page_url"), col("error"), col("scheduled_ms"), col("fetch_seq"),
+        col("ua"), col("cookies"), col("host"), col("host_bucket"), col("priority"),
         posexplode_outer(col("items")).as(Seq("local_pos", "item")))
       .withColumn("pos", col("cursor") + col("local_pos"))
       .drop("local_pos")
@@ -223,8 +260,10 @@ final class Crawler(
       StructType(Seq(
         StructField("seed_id", StringType), StructField("url", StringType),
         StructField("url_hash", LongType), StructField("host", StringType),
+        StructField("host_bucket", IntegerType), StructField("priority", IntegerType),
         StructField("page_no", IntegerType), StructField("cursor", IntegerType),
         StructField("scheduled_ms", LongType), StructField("fetch_seq", LongType),
+        StructField("ua", StringType), StructField("cookies", StringType),
         StructField("items", ArrayType(itemType)), StructField("next_page_url", StringType),
         StructField("n_scope", IntegerType), StructField("paginate_goon", BooleanType),
         StructField("error", StringType))))
@@ -249,11 +288,31 @@ final class Crawler(
   }
 }
 
+/** S6 UA pool: a small set of current public browser UA strings (the
+  * reference embeds a fake-useragent dataset, `useragent/ua.go:8-38`;
+  * ours is deterministic and seeded per url).
+  */
+object UserAgents {
+  val pool: Array[String] = Array(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/123.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:125.0) Gecko/20100101 Firefox/125.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Safari/605.1.15",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.0.0"
+  )
+}
+
 object Crawler {
   final case class Config(
       politeness: Politeness.Config = Politeness.Config(),
       maxRounds: Int = 64,
       hostBuckets: Int = 64,
+      // max frontier rows fetched per round; None = full BFS lockstep.
+      // When set, the highest-priority (priority, host_bucket) slice goes
+      // first and the remainder carries over — the 10^10-frontier regime
+      // where the frontier never fits one round.
+      batchLimit: Option[Long] = None,
       respectRobots: Boolean = false,
       broadcastFrontier: Boolean = true,
       // bloom prefilter only pays once the exact anti-join's shuffle is the

@@ -27,7 +27,19 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
   def commit(round: Int, frontier: DataFrame, seen: DataFrame, metrics: Seq[(String, Long)],
              partitionMetrics: Seq[(Int, Long)] = Nil): Unit = {
     val base = s"$dir/data/round=$round"
-    frontier.write.mode(SaveMode.Overwrite).parquet(s"$base/frontier")
+    // north-star frontier layout: partitioned by host_bucket, rows sorted
+    // by priority within each file → a batch read prunes to eligible
+    // buckets and gets priority order from file order (min/max stats)
+    if (frontier.columns.contains("host_bucket")) {
+      frontier
+        .repartition(org.apache.spark.sql.functions.col("host_bucket"))
+        .sortWithinPartitions("priority")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("host_bucket")
+        .parquet(s"$base/frontier")
+    } else {
+      frontier.write.mode(SaveMode.Overwrite).parquet(s"$base/frontier")
+    }
     seen.write.mode(SaveMode.Overwrite).parquet(s"$base/seen")
     val filesList = listParquet(s"$base/frontier") ++ listParquet(s"$base/seen")
     val json = manifestJson(round, filesList, metrics, partitionMetrics)
@@ -63,9 +75,11 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
   }
 
   private def listParquet(path: String): Seq[String] = {
-    val d = new java.io.File(path)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
   }
 
   private def manifestJson(round: Int, files: Seq[String], metrics: Seq[(String, Long)],

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.corpus.Fixtures
+import graft.engine.{Crawler, Sinks, UserAgents}
+
+class EngineSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("engine-surface-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docs = Seq(
+    Fixtures.Doc(0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+    Fixtures.Doc(7L, "one two three four five six seven eight nine ten eleven", "en"),
+    Fixtures.Doc(50L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed", "zh"),
+    Fixtures.Doc(51L, "north south east west up down left right front back side", "en")
+  )
+
+  lazy val corpus = {
+    val s = spark
+    import s.implicits._
+    docs.flatMap(Fixtures.pagesForDoc).toDF()
+  }
+
+  def seeds: Seq[(String, String)] =
+    docs.map(d => (s"d${d.doc_id}", s"${Fixtures.base(d.doc_id)}/list/p1.html"))
+
+  test("batch-limited priority frontier crawls everything over more rounds") {
+    val full = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
+      .filter(col("item").isNotNull)
+      .select("seed_id", "page_no", "pos", "item.title").collect().map(_.toString).sorted
+    val limited = new Crawler(spark, corpus,
+      Crawler.Config(batchLimit = Some(3), maxRounds = 64))
+      .crawl(CrawlQueries.listJob, seeds)
+      .filter(col("item").isNotNull)
+      .select("seed_id", "page_no", "pos", "item.title").collect().map(_.toString).sorted
+    assert(limited.toSeq == full.toSeq)
+  }
+
+  test("deterministic per-url UA assignment from the pool") {
+    val out = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
+      .select("url", "ua").distinct().collect()
+    assert(out.forall(r => UserAgents.pool.contains(r.getString(1))))
+    // same url always gets the same ua
+    val again = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
+      .select("url", "ua").distinct().collect()
+    assert(out.map(r => r.getString(0) -> r.getString(1)).toMap ==
+      again.map(r => r.getString(0) -> r.getString(1)).toMap)
+  }
+
+  test("download sink writes one file per url") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    Sinks.downloadFiles(corpus.limit(10), tmp)
+    val files = new java.io.File(tmp).listFiles()
+    assert(files.length == 10)
+    assert(files.forall(_.length() > 0))
+  }
+
+  test("debug sink dumps html + items per page partitioned by page_no") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dbg").toString
+    val crawled = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
+    Sinks.debugDump(crawled, corpus, tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == 4 * 3 * 4) // seeds x pages x items
+    assert(back.filter(col("html").isNull).count() == 0)
+  }
+
+  test("Flat: arrays_zip semantics match lib.Flat row pivot") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Seq("a", "b", "c"), Seq("x", "y", "z"))).toDF("id", "k", "v")
+    val out = graft.extract.Flat.flat(df, Seq("k", "v")).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "a", "x"), (1, "b", "y"), (1, "c", "z")))
+    // ragged: shorter list yields null beyond its end
+    val ragged = Seq((1, Seq("a", "b"), Seq("x"))).toDF("id", "k", "v")
+    val out2 = graft.extract.Flat.flat(ragged, Seq("k", "v")).collect()
+    assert(out2.length == 2 && out2(1).isNullAt(2))
+  }
+
+  test("frontier snapshot is partitioned by host_bucket and resumable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fstore").toString
+    val c = new Crawler(spark, corpus, Crawler.Config(maxRounds = 1, checkpointDir = Some(tmp)))
+    c.crawl(CrawlQueries.listJob, seeds).count()
+    val dirs = new java.io.File(s"$tmp/data/round=1/frontier").listFiles()
+    assert(dirs.exists(f => f.isDirectory && f.getName.startsWith("host_bucket=")))
+    val store = new graft.engine.FrontierStore(tmp)(spark)
+    val snap = store.loadLatest().get
+    assert(snap.round == 1)
+    assert(snap.frontier.columns.contains("priority"))
+  }
+}
