@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the scale contract is that these physical
+  * plan properties hold — filter/column pushdown into parquet scans,
+  * broadcast joins for small sides, map-side partial aggregation, and
+  * whole-stage codegen around everything except the extraction expression.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.autoBroadcastJoinThreshold", "10m")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg: column pruning reaches the parquet scan; partial agg present") {
+    val plan = planOf(PipelineQueries.q1Agg(spark, sf))
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_shipdate"), "unused column must be pruned from the scan")
+    assert(plan.contains("HashAggregate"), "hash aggregation expected")
+    // partial + final pair (map-side combine)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial aggregation expected")
+  }
+
+  test("ann_topk: query-side filter pushed to parquet scan") {
+    val plan = planOf(PipelineQueries.annTopK(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,20)"),
+      s"vec_id<20 must be pushed down:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast")
+  }
+
+  test("fetch join: frontier batch broadcasts, corpus side never shuffles") {
+    val s = spark
+    import s.implicits._
+    val corpus = graft.corpus.Fixtures.corpus(spark, sf)
+    val batch = Seq(("d0", "http://h0.test/d0/list/p1.html")).toDF("seed_id", "url")
+    val fetched = broadcast(batch).join(corpus.select(col("url"), col("html")), Seq("url"))
+    val plan = planOf(fetched)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"), "corpus must not shuffle for the fetch")
+  }
+
+  test("q_join_broadcast: dimension broadcast, no shuffle of orders for the join") {
+    val plan = planOf(PipelineQueries.qJoinBroadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("token_count: whole-stage codegen covers the scan+project pipeline") {
+    val df = PipelineQueries.tokenCount(spark, sf)
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(1200))
+  }
+
+  test("politeness: single window over host partition, codegen'd arithmetic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("http://h0.test/a", "h0.test", 1L), ("http://h0.test/b", "h0.test", 2L))
+      .toDF("url", "host", "url_hash")
+    val plan = planOf(graft.engine.Politeness.schedule(df,
+      graft.engine.Politeness.Config(delayMinMs = 100, delayMaxMs = 200, throttleNum = 2)))
+    assert("Window".r.findAllIn(plan).size >= 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup exact: no text bytes in the shuffle (only hashes aggregate)") {
+    val plan = PipelineQueries.dedupExact(spark, sf).queryExecution.optimizedPlan.toString
+    // the aggregate keys are the hashes; text appears only below the first
+    // (partial, pre-shuffle) aggregate
+    val exchangeIdx = planOf(PipelineQueries.dedupExact(spark, sf)).indexOf("Exchange")
+    assert(exchangeIdx >= 0)
+    assert(plan.contains("xxhash64") && plan.contains("md5"))
+  }
+}
