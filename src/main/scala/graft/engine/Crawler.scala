@@ -101,7 +101,17 @@ final class Crawler(
     withBtn
   }
 
-  def run(job: Job, seeds0: DataFrame, scroll: Boolean, mode: AttrMode): DataFrame = {
+  def run(job: Job, seeds0: DataFrame, scroll: Boolean, mode: AttrMode): DataFrame =
+    run(job, seeds0, scroll, mode, None)
+
+  /** Full loop with an optional per-round callback — the reference's
+    * `callback(ret, nextPageUrl, currentPageNo) bool` abort surface
+    * (`svc.go:93-101`): invoked after each round with that round's page
+    * results; returning true aborts the crawl (L10). For a single-seed
+    * job, rounds ≡ pages, so the cadence matches the reference exactly.
+    */
+  def run(job: Job, seeds0: DataFrame, scroll: Boolean, mode: AttrMode,
+          callback: Option[(Int, DataFrame) => Boolean]): DataFrame = {
     val store = config.checkpointDir.map(d => new FrontierStore(d)(spark))
     val resumed = store.flatMap(_.loadLatest())
 
@@ -137,6 +147,7 @@ final class Crawler(
     // the estimate is exact)
     var seenEstimate = if (resumed.isDefined) seen.count() else 0L
     var frontierCount = frontier.count()
+    var aborted = false
 
     // S6: deterministic per-url user-agent assignment from a broadcast
     // table (reference draws randomly from an embedded dataset,
@@ -144,7 +155,7 @@ final class Crawler(
     val uas = UserAgents.pool
     val uaCol = element_at(typedLit(uas), (pmod(col("url_hash"), lit(uas.length)) + 1).cast("int"))
 
-    while (round < config.maxRounds && frontierCount > 0) {
+    while (round < config.maxRounds && frontierCount > 0 && !aborted) {
       round += 1
       // priority frontier: when a batch limit is set, take the highest-
       // priority slice ordered by (priority, host_bucket) — the north-star
@@ -188,6 +199,9 @@ final class Crawler(
           col("x.error").as("error"))
 
       perRound += pages
+
+      // L10 abort via callback (`svcimpl.go:402-404,487-489`)
+      aborted = callback.exists(cb => cb(round, pages))
 
       // mark fetched urls seen (per-seed, matching per-Job independence of
       // the reference; SURVEY.md §2.5 set-ops row). Batches are disjoint

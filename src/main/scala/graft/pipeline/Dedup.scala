@@ -94,8 +94,12 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // adversarial-verification stage: exact Jaccard on the candidates only
-    val sh = shingles(docs, k).cache()
+    // adversarial-verification stage: exact Jaccard on the candidates only;
+    // shingle frames semi-join-pruned to candidate doc ids first so the
+    // verify join scales with |candidates|, not |corpus|
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sh = shingles(docs, k).join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val interCnt = cand
       .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "s"), "a_id")
