@@ -40,10 +40,18 @@ object Css {
 
   final case class CssParseException(msg: String) extends RuntimeException(msg)
 
+  // selectors repeat per page × per attr across millions of rows — memoize
+  // the parse (bounded; selector vocabulary per job is tiny)
+  private val parseCache = new java.util.concurrent.ConcurrentHashMap[String, SelectorList]()
+
   def parse(selector: String): SelectorList = {
+    val cached = parseCache.get(selector)
+    if (cached != null) return cached
     val groups = splitTop(selector, ',').map(_.trim).filter(_.nonEmpty)
     if (groups.isEmpty) throw CssParseException(s"empty selector: '$selector'")
-    SelectorList(groups.map(parseComplex))
+    val parsed = SelectorList(groups.map(parseComplex))
+    if (parseCache.size < 10000) parseCache.put(selector, parsed)
+    parsed
   }
 
   /** split at top level (not inside parens/brackets/quotes) */

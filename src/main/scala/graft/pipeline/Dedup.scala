@@ -88,27 +88,51 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
     }
+    // cache: buckets feed both sides of the self-join; cand feeds both the
+    // id-prune broadcast and the verify join — without caching, the whole
+    // 128-perm signature pipeline would re-execute per consumer
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .cache()
     val cand = buckets.alias("x").join(buckets.alias("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // adversarial-verification stage: exact Jaccard on the candidates only;
-    // shingle frames semi-join-pruned to candidate doc ids first so the
-    // verify join scales with |candidates|, not |corpus|
-    val candIds = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sh = shingles(docs, k).join(broadcast(candIds), Seq("doc_id"), "left_semi").cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val interCnt = cand
-      .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "s"), "a_id")
-      .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "s"), Seq("b_id", "s"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    interCnt
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
-      .filter(col("inter") >= lit(threshold) * (col("sza") + col("szb") - col("inter")))
+      .cache()
+    // adversarial-verification stage: exact Jaccard on the candidates only.
+    // Per-doc SORTED shingle-hash sets ride in ONE broadcast map; each
+    // candidate pair is verified by a sorted-merge intersect inside a
+    // single UDF — no join, no per-row array materialization, no
+    // row-explosion shuffle (a shingle-equality join would emit Σ|A∩B| ≈
+    // 10^8+ rows on a similarity-saturated corpus; a broadcast-join of the
+    // array columns would copy ~1 KB of set bytes into every one of the
+    // 10^6-10^7 candidate rows). The size-ratio bound (J ≤ min/max) short-
+    // circuits inside the same UDF. Broadcast scales to ~10^7 docs; past
+    // that, verify bucket-locally with partitioned set shards.
+    val setsLocal: Map[Long, Array[Long]] = shingles(docs, k)
+      .withColumn("sh64", xxhash64(col("shingle")))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("sh64"))).as("sset"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    val bcSets = docs.sparkSession.sparkContext.broadcast(setsLocal)
+    val thr = threshold
+    val passes = udf { (aId: Long, bId: Long) =>
+      val sa = bcSets.value(aId)
+      val sb = bcSets.value(bId)
+      val (small, big) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
+      if (small.length < thr * big.length) false
+      else {
+        var i = 0; var j = 0; var inter = 0
+        while (i < small.length && j < big.length) {
+          if (small(i) == big(j)) { inter += 1; i += 1; j += 1 }
+          else if (small(i) < big(j)) i += 1
+          else j += 1
+        }
+        inter >= thr * (sa.length + sb.length - inter)
+      }
+    }
+    cand.filter(passes(col("a_id"), col("b_id")))
       .select("a_id", "b_id")
       .orderBy("a_id", "b_id")
   }
