@@ -178,7 +178,15 @@ final class Crawler(
         .withColumn("ua", uaCol)
         .withColumn("cookies", lit(job.enableCookies.rawCookies)) // S4 fetch metadata
 
-      val paced = Politeness.schedule(fetched, config.politeness)
+      // politeness windows by host; without rebalancing, extraction would
+      // inherit that partitioning and a hot (Zipf) host would serialize all
+      // its parsing in one task — repartition by url hash so parse work
+      // spreads evenly (SURVEY.md §7 hard part 5: salting the skew out of
+      // the post-schedule stage; schedule columns are already computed)
+      val paced0 = Politeness.schedule(fetched, config.politeness)
+      val paced =
+        if (config.politeness.enabled) paced0.repartition(col("url_hash"))
+        else paced0
 
       val x = CrawlExtractExpression(col("html"), col("url"), col("page_no"), col("cursor"),
         job, mode, scroll)

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.corpus.Fixtures
+import graft.engine.{Crawler, Politeness}
+
+/** Host-skew behavior (SURVEY.md §7 hard part 5, FIXTURES.md Zipf note):
+  * one hot host must not serialize a round's parse work, and the politeness
+  * schedule must still be exactly per-host.
+  */
+class SkewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("skew-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // Zipf-ish: host h0 owns ~half the docs, tail spread over 19 hosts.
+  // Fixtures.host uses doc_id % 50, so choose doc ids whose residues
+  // collide on 0 for the hot host.
+  val hotDocs: Seq[Long] = (0 until 40).map(i => i * 50L)       // all on h0.test
+  val tailDocs: Seq[Long] = (1 to 40).map(_.toLong)             // h1..h40
+  lazy val docs = (hotDocs ++ tailDocs).map(d =>
+    Fixtures.Doc(d, s"alpha beta gamma delta epsilon zeta eta theta iota d$d", "en"))
+
+  lazy val corpus = {
+    val s = spark
+    import s.implicits._
+    docs.flatMap(Fixtures.pagesForDoc).toDF()
+  }
+
+  def seeds: Seq[(String, String)] =
+    docs.map(d => (s"d${d.doc_id}", s"${Fixtures.base(d.doc_id)}/list/p1.html"))
+
+  test("politeness-on crawl over a Zipf host distribution is correct") {
+    val c = new Crawler(spark, corpus,
+      Crawler.Config(politeness = Politeness.Config(delayMinMs = 50, delayMaxMs = 50)))
+    val out = c.crawl(CrawlQueries.listJob, seeds).filter(col("item").isNotNull)
+    assert(out.count() == docs.size * 3 * 4)
+    // per-host schedule: the hot host's round-1 fetches are serialized
+    // 50ms apart; hottest scheduled_ms = (n_hot-1)*50 within the round
+    val hot = out.filter(col("url").contains("h0.test") && col("page_no") === 1)
+      .select("scheduled_ms").distinct().collect().map(_.getLong(0)).sorted
+    assert(hot.length == hotDocs.size)
+    assert(hot.last == (hotDocs.size - 1) * 50L)
+    // tail hosts all start at 0 in parallel
+    val tail = out.filter(col("url").contains("h7.test") && col("page_no") === 1)
+      .select("scheduled_ms").distinct().collect().map(_.getLong(0))
+    assert(tail.forall(_ == 0L))
+  }
+
+  test("extraction work rebalances off the host partitioning") {
+    import graft.urls.Urls
+    val s = spark
+    import s.implicits._
+    val rows = docs.map(d => (s"${Fixtures.base(d.doc_id)}/list/p1.html",
+      Fixtures.host(d.doc_id), Urls.urlHash(s"${Fixtures.base(d.doc_id)}/list/p1.html")))
+    val df = rows.toDF("url", "host", "url_hash")
+    val paced = Politeness.schedule(df, Politeness.Config(delayMinMs = 50, delayMaxMs = 50))
+    // without rebalance: hot host h0 concentrates 50% of rows in one partition
+    val skewed = paced.groupBy(spark_partition_id().as("p")).count()
+      .agg(max("count")).head.getLong(0)
+    // explicit partition count: AQE would otherwise coalesce this tiny
+    // frame to one partition (at scale it right-sizes instead)
+    val balanced = paced.repartition(8, col("url_hash"))
+      .groupBy(spark_partition_id().as("p")).count()
+      .agg(max("count")).head.getLong(0)
+    assert(skewed >= hotDocs.size, s"window partitioning concentrates the hot host (max=$skewed)")
+    assert(balanced < hotDocs.size / 2,
+      s"url_hash repartition must spread the hot host (max=$balanced)")
+  }
+}
