@@ -35,6 +35,9 @@ object PipelineQueries {
   def annLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.lshTopK(emb(spark, sfDir), numQueries = 20, k = 3)
 
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopK(emb(spark, sfDir), numQueries = 20, k = 3)
+
   def embNearDup(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.cosineNearDupPairs(emb(spark, sfDir), threshold = 0.45)
 

@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),
     "ann_topk" -> (PipelineQueries.annTopK(_, _)),
     "ann_lsh" -> (PipelineQueries.annLsh(_, _)),
+    "ann_ivf" -> (PipelineQueries.annIvf(_, _)),
     "emb_near_dup" -> (PipelineQueries.embNearDup(_, _)),
     "lang_id" -> (PipelineQueries.langId(_, _)),
     "quality_score" -> (PipelineQueries.qualityScore(_, _)),

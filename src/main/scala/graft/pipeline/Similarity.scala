@@ -92,6 +92,53 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means cells via MLlib (seeded,
+    * deterministic), queries probe their `nProbe` nearest centroids, exact
+    * cosine re-rank within the probed cells. The classic
+    * coarse-quantization scale path (Jégou et al., IVF in FAISS): at 10^10
+    * vectors the cell assignment shards the corpus so a query touches
+    * n·nProbe/k vectors; cells map to partitions (`repartition(cell)`).
+    */
+  def ivfTopK(emb: DataFrame, numQueries: Int = 20, k: Int = 3,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val withVec = emb.withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .cache()
+    // query → nProbe nearest centroids (driver-side: centroids are tiny)
+    val centroids = model.clusterCenters.zipWithIndex
+    val spark = emb.sparkSession
+    val probeOf = udf { (v: Vector) =>
+      centroids.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.size) { val t = c(j) - v(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val queries = model.transform(withVec).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeOf(col("features"))).as("cell"))
+    val cand = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .distinct()
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val out = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("n_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("vec_id", "rank")
+    val _ = spark
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold) —
     * brute force at test scale; the LSH bucket join is the scale path.
     */

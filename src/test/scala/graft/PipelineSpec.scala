@@ -54,6 +54,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"lsh recall $recall")
   }
 
+  test("ann ivf: cell-probe recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    // 4 of 16 cells probed on weakly-clustered vectors
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
   test("lang_id deterministic + scores consistent") {
     val out = TextStats.langId(docs).collect()
     assert(out.length == docs.count())
