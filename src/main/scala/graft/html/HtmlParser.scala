@@ -209,6 +209,14 @@ object HtmlParser {
           impliedEndByOpen.get(tag).foreach { closes =>
             while (stack.nonEmpty && closes(stack.last.tag)) stack.remove(stack.length - 1)
           }
+          // HTML5 tbody synthesis: <tr> directly under <table> gets an
+          // implicit tbody (Chrome and golang.org/x/net/html both do this;
+          // needed so xpath like //table/tbody/tr matches identically)
+          if (tag == "tr" && current.tag == "table") {
+            val tb = HElem("tbody")
+            current.append(tb)
+            stack += tb
+          }
           val e = HElem.apply(tag, attrs.toSeq)
           current.append(e)
           if (!selfClose && !voidElements(tag)) stack += e

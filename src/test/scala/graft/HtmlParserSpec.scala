@@ -50,6 +50,17 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(root.descendants.count(_.tag == "div") == 0)
   }
 
+  test("tbody synthesized between table and tr (HTML5 / x-net-html parity)") {
+    val root = HtmlParser.parse("<table><tr><td>a</td></tr><tr><td>b</td></tr></table>")
+    val table = root.descendants.find(_.tag == "table").get
+    assert(table.childElements.map(_.tag) == Vector("tbody"))
+    assert(Css.selectAll(root, "table > tbody > tr").size == 2)
+    assert(XPath.find(root, "//table/tbody/tr").size == 2)
+    // explicit tbody: no double synthesis
+    val root2 = HtmlParser.parse("<table><tbody><tr><td>a</td></tr></tbody></table>")
+    assert(root2.descendants.count(_.tag == "tbody") == 1)
+  }
+
   test("stray close tags ignored") {
     val root = HtmlParser.parse("<div></span><p>ok</p></div>")
     assert(root.descendants.exists(e => e.tag == "p" && Text.innerText(e) == "ok"))
