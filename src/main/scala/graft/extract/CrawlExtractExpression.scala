@@ -122,7 +122,9 @@ case class CrawlExtractExpression(
 
   private def clickTargetHref(e: graft.html.HElem): String =
     e.attr("href").orElse {
-      e.selfAndDescendants.collectFirst { case d if d.attr("href").isDefined => d.attrs("href") }
+      e.selfAndDescendants.collectFirst {
+        case d if d.attrRaw("href") != null => d.attrRaw("href")
+      }
     }.getOrElse("")
 
   private def result(items: Vector[XVal], nextUrl: String, nScope: Int, goon: Boolean, error: String): InternalRow =

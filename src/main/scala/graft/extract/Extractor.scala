@@ -35,7 +35,7 @@ object Extractor {
     */
   def parseDocument(html: String): HElem = {
     val root = HtmlParser.parse(html)
-    val doc = new HElem("#document", Map.empty, Vector.empty)
+    val doc = HElem("#document")
     doc.append(root)
     doc
   }
@@ -117,6 +117,10 @@ object Extractor {
     try Css.selectAll(ctx, selector)
     catch { case _: Css.CssParseException => Vector.empty } // scope err logged + empty (svcimpl.go:701)
 
+  private def tryCssFirst(ctx: HElem, selector: String): Option[HElem] =
+    try Css.selectFirst(ctx, selector)
+    catch { case _: Css.CssParseException => None }
+
   private def tryOrEmpty(f: => String): String =
     try f catch { case _: Exception => "" }
 
@@ -173,12 +177,14 @@ object Extractor {
           case a           => readAttr(node, a, baseUrl, mode)
         }
       } else {
+        // first-match semantics short-circuit the CSS walk (selectFirst)
+        // instead of materializing every match
         sel.attr match {
-          case "outerHTML" => tryCss(node, sel.css).headOption.map(Serializer.outerHtml).getOrElse("")
-          case "innerHTML" => tryCss(node, sel.css).headOption.map(Serializer.innerHtml).getOrElse("")
+          case "outerHTML" => tryCssFirst(node, sel.css).map(Serializer.outerHtml).getOrElse("")
+          case "innerHTML" => tryCssFirst(node, sel.css).map(Serializer.innerHtml).getOrElse("")
           case "innerText" => tryCss(node, sel.css).map(Text.innerText).mkString("")
-          case "node"      => tryCss(node, sel.css).headOption.map(Serializer.outerHtml).getOrElse("")
-          case a           => tryCss(node, sel.css).headOption.map(readAttr(_, a, baseUrl, mode)).getOrElse("")
+          case "node"      => tryCssFirst(node, sel.css).map(Serializer.outerHtml).getOrElse("")
+          case a           => tryCssFirst(node, sel.css).map(readAttr(_, a, baseUrl, mode)).getOrElse("")
         }
       }
     }

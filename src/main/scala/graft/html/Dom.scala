@@ -20,22 +20,51 @@ final class HComment(val data: String) extends HNode
 
 final class HElem(
     val tag: String,
-    val attrs: Map[String, String],
-    val attrOrder: Vector[String]
+    attrNames: Array[String],
+    attrValues: Array[String]
 ) extends HNode {
   val children: ArrayBuffer[HNode] = ArrayBuffer.empty
 
   def append(n: HNode): Unit = { n.parent = this; children += n }
 
-  def attr(name: String): Option[String] = attrs.get(name)
-
-  def id: Option[String] = attrs.get("id")
-
-  def classes: Set[String] =
-    attrs.get("class") match {
-      case Some(c) => c.split("\\s+").iterator.filter(_.nonEmpty).toSet
-      case None    => Set.empty
+  // linear scan: elements carry ≤ a handful of attributes; beats a Map's
+  // allocation + hashing in the million-pages-per-round hot path
+  def attr(name: String): Option[String] = {
+    var i = 0
+    while (i < attrNames.length) {
+      if (attrNames(i) == name) return Some(attrValues(i))
+      i += 1
     }
+    None
+  }
+
+  def attrRaw(name: String): String = {
+    var i = 0
+    while (i < attrNames.length) {
+      if (attrNames(i) == name) return attrValues(i)
+      i += 1
+    }
+    null
+  }
+
+  def foreachAttr(f: (String, String) => Unit): Unit = {
+    var i = 0
+    while (i < attrNames.length) { f(attrNames(i), attrValues(i)); i += 1 }
+  }
+
+  def id: Option[String] = attr("id")
+
+  private[this] var classesCache: Set[String] = _
+
+  def classes: Set[String] = {
+    if (classesCache == null) {
+      classesCache = attrRaw("class") match {
+        case null => Set.empty
+        case c    => c.split("\\s+").iterator.filter(_.nonEmpty).toSet
+      }
+    }
+    classesCache
+  }
 
   def childElements: Vector[HElem] =
     children.iterator.collect { case e: HElem => e }.toVector
@@ -119,13 +148,18 @@ final class HElem(
 }
 
 object HElem {
-  def apply(tag: String, attrs: Seq[(String, String)] = Nil): HElem = {
+  private val noAttrs = Array.empty[String]
+
+  def apply(tag: String): HElem = new HElem(tag, noAttrs, noAttrs)
+
+  def apply(tag: String, attrs: Seq[(String, String)]): HElem = {
+    if (attrs.isEmpty) return new HElem(tag, noAttrs, noAttrs)
     // First occurrence of a duplicated attribute wins (HTML5 spec).
-    val order = ArrayBuffer[String]()
-    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    val names = ArrayBuffer[String]()
+    val values = ArrayBuffer[String]()
     attrs.foreach { case (k, v) =>
-      if (!m.contains(k)) { m(k) = v; order += k }
+      if (!names.contains(k)) { names += k; values += v }
     }
-    new HElem(tag, m.toMap, order.toVector)
+    new HElem(tag, names.toArray, values.toArray)
   }
 }

@@ -62,6 +62,17 @@ object HtmlParser {
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** case-insensitive indexOf without copying the document. */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = from
+    val limit = s.length - needle.length
+    while (i <= limit) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   private def tokenize(s: String): ArrayBuffer[Tok] = {
     val out = ArrayBuffer[Tok]()
     val n = s.length
@@ -104,8 +115,7 @@ object HtmlParser {
           tok match {
             case TOpen(tag, _, false) if rawTextElements(tag) =>
               val closeSeq = "</" + tag
-              var j = s.toLowerCase.indexOf(closeSeq, i)
-              // (toLowerCase per call is wasteful; fine for page-sized inputs)
+              var j = indexOfIgnoreCase(s, closeSeq, i)
               if (j < 0) j = n
               val raw = s.substring(i, j)
               if (raw.nonEmpty)

@@ -28,8 +28,8 @@ object Serializer {
 
   private def writeElem(e: HElem, sb: java.lang.StringBuilder): Unit = {
     sb.append('<').append(e.tag)
-    e.attrOrder.foreach { k =>
-      sb.append(' ').append(k).append("=\"").append(Entities.encodeAttr(e.attrs(k))).append('"')
+    e.foreachAttr { (k, v) =>
+      sb.append(' ').append(k).append("=\"").append(Entities.encodeAttr(v)).append('"')
     }
     sb.append('>')
     if (!HtmlParser.voidElements(e.tag)) {
