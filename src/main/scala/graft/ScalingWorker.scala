@@ -1,0 +1,86 @@
+package graft
+
+/** One scaling measurement in a dedicated JVM: crawl the multiplied list
+  * corpus at local[cores], print one JSON line. Spawned by
+  * [[ScalingBenchForked]] so each parallelism level gets a fresh heap —
+  * the honest stand-in for independent executors on a real cluster.
+  */
+object ScalingWorker {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val sfDir = args(1)
+    val mult = args(2).toInt
+    val spark = Bench.mkSession(cores.toString)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text", "lang").as[graft.corpus.Fixtures.Doc].collect()
+    val docs = (0 until mult).flatMap(m =>
+      baseDocs.map(d => d.copy(doc_id = d.doc_id + m * 1000000L)))
+    val corpus = spark.createDataset(docs).repartition(cores * 2)
+      .flatMap(graft.corpus.Fixtures.pagesForDoc _).toDF()
+    corpus.cache(); corpus.count()
+    val seeds = docs.map(d => (s"d${d.doc_id}", s"${graft.corpus.Fixtures.base(d.doc_id)}/list/p1.html"))
+    val crawler = new graft.engine.Crawler(spark, corpus)
+    crawler.crawl(CrawlQueries.listJob, seeds.take(50)).count() // warmup
+    val times = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = crawler.crawl(CrawlQueries.listJob, seeds).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (rows, sec)
+    }
+    val pages = times.head._1 / 4
+    val sec = times.map(_._2).min
+    println(f"""SCALING_RESULT {"cores":$cores%d,"pages":$pages%d,"sec":$sec%.2f}""")
+    spark.stop()
+  }
+}
+
+/** Forked N-vs-4N scaling harness: each config runs in its own JVM
+  * (fresh allocator/GC/JIT — no cross-config heap pollution), interleaved,
+  * best time per config.
+  */
+object ScalingBenchForked {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "32").toInt
+    val javaHome = sys.props("java.home")
+    val cp = sys.props("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+    def runOnce(cores: Int): (Long, Double) = {
+      val cmd = Seq(s"$javaHome/bin/java", "-Xmx24g", "-XX:+UseParallelGC",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+        addOpens ++ Seq("-cp", cp, "graft.ScalingWorker", cores.toString, sfDir, mult.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      proc.waitFor()
+      val line = out.find(_.startsWith("SCALING_RESULT"))
+        .getOrElse(sys.error(s"worker failed:\n${out.takeRight(30).mkString("\n")}"))
+      val pages = """"pages":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+      val sec = """"sec":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+      (pages, sec)
+    }
+
+    val schedule = Seq(n, 4 * n, n, 4 * n)
+    val results = schedule.map { c =>
+      val r = runOnce(c)
+      println(f"  fork local[$c%d]: ${r._1}%d pages in ${r._2}%.2f s (${r._1 / r._2}%.0f pages/s)")
+      c -> r
+    }
+    val pagesN = results.filter(_._1 == n).map(_._2._1).head
+    val secN = results.filter(_._1 == n).map(_._2._2).min
+    val sec4N = results.filter(_._1 == 4 * n).map(_._2._2).min
+    val eff = (secN / sec4N) / 4.0
+    println(f"""{"sf":"$sfDir%s","pages":$pagesN%d,"n_cores":$n%d,"t_n_sec":$secN%.2f,"thr_n_pages_per_sec":${pagesN / secN}%.1f,"n4_cores":${4 * n}%d,"t_4n_sec":$sec4N%.2f,"thr_4n_pages_per_sec":${pagesN / sec4N}%.1f,"scaling_efficiency":$eff%.3f,"isolation":"forked-jvm-per-config"}""")
+  }
+}
