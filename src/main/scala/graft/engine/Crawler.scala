@@ -184,9 +184,17 @@ final class Crawler(
       // spreads evenly (SURVEY.md §7 hard part 5: salting the skew out of
       // the post-schedule stage; schedule columns are already computed)
       val paced0 = Politeness.schedule(fetched, config.politeness)
-      val paced =
+      val paced1 =
         if (config.politeness.enabled) paced0.repartition(col("url_hash"))
         else paced0
+      // realPace: honor the schedule in wall-clock (a live fetcher's
+      // behavior); off by default — the sandbox corpus join needs no delay
+      // emitted_ms carries the wall-clock emission offset (and keeps the
+      // pacing udf alive through column pruning); 0 when pacing is virtual
+      val paced =
+        if (config.realPace && config.politeness.enabled)
+          Politeness.pace(paced1, System.currentTimeMillis())
+        else paced1.withColumn("emitted_ms", lit(0L))
 
       val x = CrawlExtractExpression(col("html"), col("url"), col("page_no"), col("cursor"),
         job, mode, scroll)
@@ -196,12 +204,12 @@ final class Crawler(
       val materialized = paced
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
-          col("ua"), col("cookies"), x.as("x"))
+          col("emitted_ms"), col("ua"), col("cookies"), x.as("x"))
         .localCheckpoint(true)
       val pages = materialized
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
-          col("ua"), col("cookies"),
+          col("emitted_ms"), col("ua"), col("cookies"),
           col("x.items").as("items"), col("x.next_page_url").as("next_page_url"),
           col("x.n_scope").as("n_scope"), col("x.paginate_goon").as("paginate_goon"),
           col("x.error").as("error"))
@@ -257,8 +265,12 @@ final class Crawler(
       store.foreach { st =>
         val partMetrics = pages.groupBy(spark_partition_id().as("p")).count()
           .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val fetchedCount = pages.count()
         st.commit(round, frontier, seen,
-          Seq("pages_fetched" -> pages.count(), "frontier_next" -> frontierCount,
+          Seq("pages_fetched" -> fetchedCount,
+            // fetch misses (url absent from corpus ≙ 404/timeout lineage)
+            "pages_missing" -> (batchCount - fetchedCount),
+            "frontier_next" -> frontierCount,
             "seen_total" -> seenEstimate),
           partMetrics)
       }
@@ -269,7 +281,7 @@ final class Crawler(
     // (C1: `posexplode` + cursor offset ≡ the reference's nth-child rewrite)
     all.select(col("seed_id"), col("url"), col("page_no"), col("cursor"),
         col("next_page_url"), col("error"), col("scheduled_ms"), col("fetch_seq"),
-        col("ua"), col("cookies"), col("host"), col("host_bucket"), col("priority"),
+        col("emitted_ms"), col("ua"), col("cookies"), col("host"), col("host_bucket"), col("priority"),
         posexplode_outer(col("items")).as(Seq("local_pos", "item")))
       .withColumn("pos", col("cursor") + col("local_pos"))
       .drop("local_pos")
@@ -285,6 +297,7 @@ final class Crawler(
         StructField("host_bucket", IntegerType), StructField("priority", IntegerType),
         StructField("page_no", IntegerType), StructField("cursor", IntegerType),
         StructField("scheduled_ms", LongType), StructField("fetch_seq", LongType),
+        StructField("emitted_ms", LongType),
         StructField("ua", StringType), StructField("cookies", StringType),
         StructField("items", ArrayType(itemType)), StructField("next_page_url", StringType),
         StructField("n_scope", IntegerType), StructField("paginate_goon", BooleanType),
@@ -336,6 +349,9 @@ object Crawler {
       // where the frontier never fits one round.
       batchLimit: Option[Long] = None,
       respectRobots: Boolean = false,
+      // sleep tasks to the politeness schedule in wall-clock time (live
+      // fetcher behavior); tests/bench leave the schedule virtual
+      realPace: Boolean = false,
       broadcastFrontier: Boolean = true,
       // bloom prefilter only pays once the exact anti-join's shuffle is the
       // bottleneck (≈10^7+ seen urls); below that the extra bloom-build

@@ -55,6 +55,27 @@ object Politeness {
     } else lit(conf.delayMinMs)
   }
 
+  /** Real pacing: sleep each row's task thread until crawl-round start +
+    * `scheduled_ms` (the moment a live fetcher would issue the request).
+    * The schedule itself is the virtual-clock contract used by tests and
+    * the sandbox corpus join; this stage turns it into wall-clock behavior
+    * when `realPace` is on — per-host gaps then hold in real time while
+    * other hosts' rows in the same partition proceed independently (rows
+    * are scheduled, not the partition).
+    */
+  def pace(df: DataFrame, roundStartMs: Long): DataFrame = {
+    val waiter = org.apache.spark.sql.functions.udf { (scheduledMs: Long) =>
+      val target = roundStartMs + scheduledMs
+      var now = System.currentTimeMillis()
+      while (now < target) {
+        Thread.sleep(math.min(target - now, 50L))
+        now = System.currentTimeMillis()
+      }
+      System.currentTimeMillis() - roundStartMs // actual emission offset
+    }
+    df.withColumn("emitted_ms", waiter(col("scheduled_ms")))
+  }
+
   /** Adds `scheduled_ms` (virtual emission time per host, ms from crawl
     * start of round) and `fetch_seq` (0-based per-host order).
     */

@@ -55,6 +55,28 @@ class SkewSpec extends AnyFunSuite {
     assert(tail.forall(_ == 0L))
   }
 
+  test("realPace: wall-clock emission honors the per-host schedule") {
+    // 3 docs on one host, fixed 120ms delay, 1 page each → emissions at
+    // ~0/120/240ms of the round; wall time of round 1 ≥ 240ms
+    val three = docs.take(2) :+ Fixtures.Doc(100L, "x y z w v u t s r q p", "en")
+    val s = spark
+    import s.implicits._
+    val c2 = three.flatMap(Fixtures.pagesForDoc).toDF()
+    val cr = new Crawler(spark, c2, Crawler.Config(
+      politeness = Politeness.Config(delayMinMs = 120, delayMaxMs = 120),
+      realPace = true, maxRounds = 1))
+    val sds = three.map(d => (s"d${d.doc_id}", s"${Fixtures.base(d.doc_id)}/list/p1.html"))
+    val t0 = System.currentTimeMillis()
+    val out = cr.crawl(CrawlQueries.listJob, sds)
+      .select("url", "host", "scheduled_ms", "emitted_ms").distinct().collect()
+    val wall = System.currentTimeMillis() - t0
+    // hosts here: d0,d100 → h0.test (2 fetches, gap 120ms); d7 → h7.test
+    val h0 = out.filter(_.getString(1) == "h0.test").sortBy(_.getLong(2))
+    assert(h0.map(_.getLong(2)).toSeq == Seq(0L, 120L))
+    assert(h0.forall(r => r.getLong(3) >= r.getLong(2))) // emitted at/after schedule
+    assert(wall >= 120, s"round must take at least the max per-host schedule (took ${wall}ms)")
+  }
+
   test("extraction work rebalances off the host partitioning") {
     import graft.urls.Urls
     val s = spark
