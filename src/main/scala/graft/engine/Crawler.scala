@@ -90,11 +90,19 @@ final class Crawler(
     */
   private def applyStartPageBtn(job: Job, seeds: DataFrame): DataFrame = {
     if (job.startPageBtn.css.isEmpty && job.startPageBtn.xpath.isEmpty) return seeds
-    val btnJob = Job(link = "", cssSelector = Selector(css = job.startPageBtn.cssOrXpath, attr = "href"))
+    // The reference clicks the button via chromedp.BySearch, which accepts
+    // BOTH css and xpath (`svcimpl.go:348-380`). Reuse the paginator's
+    // click-discovery path (nextPageUrl → clickTargetHref), which dispatches
+    // on selector kind and absolutizes the matched element's href.
+    val q = job.startPageBtn.cssOrXpath
+    val btnSel =
+      if (job.startPageBtn.xpath.nonEmpty || q.startsWith("/")) Selector(xpath = q)
+      else Selector(css = q, attr = job.startPageBtn.attr)
+    val btnJob = Job(link = "", cssSelector = Selector(css = "graft-no-items"), paginator = btnSel)
     val x = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0), btnJob, JsProperty, scroll = false)
     val withBtn = seeds.join(corpusPages, Seq("url"), "left")
       .withColumn("x", x)
-      .withColumn("btn_url", element_at(col("x.items"), 1))
+      .withColumn("btn_url", col("x.next_page_url"))
       .select(col("seed_id"),
         when(col("btn_url").isNotNull && length(col("btn_url")) > 0, col("btn_url")).otherwise(col("url")).as("url"),
         col("page_no"), col("cursor"))
@@ -258,8 +266,13 @@ final class Crawler(
 
       val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
         "host", "url_hash", "host_bucket", "priority")
+      // a successor may already be QUEUED (in the unfetched remainder) even
+      // though not yet seen — anti-join against the remainder too, keeping
+      // the earlier-queued row (BFS order), so no url is fetched twice
       frontier = (if (batchCount < frontierCount)
-        remainder.unionByName(succ) else succ).localCheckpoint(true)
+        remainder.unionByName(
+          succ.join(remainder.select("seed_id", "url_hash"), Seq("seed_id", "url_hash"), "left_anti"))
+      else succ).localCheckpoint(true)
       frontierCount = frontier.count()
 
       store.foreach { st =>

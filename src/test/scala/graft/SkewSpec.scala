@@ -58,7 +58,9 @@ class SkewSpec extends AnyFunSuite {
   test("realPace: wall-clock emission honors the per-host schedule") {
     // 3 docs on one host, fixed 120ms delay, 1 page each → emissions at
     // ~0/120/240ms of the round; wall time of round 1 ≥ 240ms
-    val three = docs.take(2) :+ Fixtures.Doc(100L, "x y z w v u t s r q p", "en")
+    // d0, d100 → h0.test (doc_id % 50 == 0); d7 → h7.test
+    val three = Seq(docs.head, docs.find(_.doc_id == 7L).get,
+      Fixtures.Doc(100L, "x y z w v u t s r q p", "en"))
     val s = spark
     import s.implicits._
     val c2 = three.flatMap(Fixtures.pagesForDoc).toDF()
