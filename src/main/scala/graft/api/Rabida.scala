@@ -79,7 +79,7 @@ final class Rabida(spark: SparkSession, corpus: DataFrame, conf: RabiConfig = Ra
   private def crawler(c: RabiConfig, debugDelayZero: Boolean = false): Crawler = {
     val pol = if (debugDelayZero) Politeness.Config() else c.politeness
     new Crawler(spark, corpus, Crawler.Config(politeness = pol,
-      checkpointDir = None))
+      checkpointDir = None, timeBudgetMs = c.timeoutMs))
   }
 
   /** `Crawl` (`svc.go:93-101`). */

@@ -185,6 +185,11 @@ final class Crawler(
       val fetched = joinBatch.join(corpusPages, Seq("url"), "inner")
         .withColumn("ua", uaCol)
         .withColumn("cookies", lit(job.enableCookies.rawCookies)) // S4 fetch metadata
+        // parsed jar (lib/cookies.go parity): typed struct column, computed
+        // once per job on the driver
+        .withColumn("cookie_jar", typedLit(Cookies.forJob(
+          if (job.startPageUrl.nonEmpty) job.startPageUrl else job.link,
+          job.enableCookies.rawCookies, job.enableCookies.expires)))
 
       // politeness windows by host; without rebalancing, extraction would
       // inherit that partitioning and a hot (Zipf) host would serialize all
@@ -204,20 +209,47 @@ final class Crawler(
           Politeness.pace(paced1, System.currentTimeMillis())
         else paced1.withColumn("emitted_ms", lit(0L))
 
+      // cross-document iframe (P12 completion, `svcimpl.go:638-656`): when
+      // the job scopes into an iframe and the matched element carries a src
+      // with no inlined content, join the framed page in from the corpus so
+      // extraction can scope against the framed document. Only iframe jobs
+      // pay this join; at 10^10 scale it is the same url-keyed join shape
+      // as the fetch itself (bucketed corpus, AQE-sized).
+      val withFrame =
+        if (job.cssSelector.iframe) {
+          val sel = job.cssSelector
+          val srcOf = udf { (html: Array[Byte], url: String) =>
+            if (html == null) null
+            else try {
+              val doc = Extractor.parseDocument(html)
+              Extractor.iframeFather(doc, sel) match {
+                case Some(el) if !el.children.exists(_.isInstanceOf[graft.html.HElem]) =>
+                  el.attr("src").filter(_.nonEmpty).map(s => Urls.resolve(url, s)).orNull
+                case _ => null
+              }
+            } catch { case _: Exception => null }
+          }
+          paced.withColumn("__iframe_src", srcOf(col("html"), col("url")))
+            .join(corpusPages.select(col("url").as("__iframe_src"), col("html").as("__iframe_html")),
+              Seq("__iframe_src"), "left")
+            .drop("__iframe_src")
+        } else paced.withColumn("__iframe_html", lit(null).cast("binary"))
+
       val x = CrawlExtractExpression(col("html"), col("url"), col("page_no"), col("cursor"),
-        job, mode, scroll)
+        job, mode, scroll, iframeHtml = col("__iframe_html"),
+        timeBudgetMs = config.timeBudgetMs)
       // checkpoint BEFORE projecting struct fields: guarantees exactly ONE
       // extraction (one HTML parse) per page — projecting fields first
       // would let CollapseProject clone the expression per field
-      val materialized = paced
+      val materialized = withFrame
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
-          col("emitted_ms"), col("ua"), col("cookies"), x.as("x"))
+          col("emitted_ms"), col("ua"), col("cookies"), col("cookie_jar"), x.as("x"))
         .localCheckpoint(true)
       val pages = materialized
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
-          col("emitted_ms"), col("ua"), col("cookies"),
+          col("emitted_ms"), col("ua"), col("cookies"), col("cookie_jar"),
           col("x.items").as("items"), col("x.next_page_url").as("next_page_url"),
           col("x.n_scope").as("n_scope"), col("x.paginate_goon").as("paginate_goon"),
           col("x.error").as("error"))
@@ -294,7 +326,7 @@ final class Crawler(
     // (C1: `posexplode` + cursor offset ≡ the reference's nth-child rewrite)
     all.select(col("seed_id"), col("url"), col("page_no"), col("cursor"),
         col("next_page_url"), col("error"), col("scheduled_ms"), col("fetch_seq"),
-        col("emitted_ms"), col("ua"), col("cookies"), col("host"), col("host_bucket"), col("priority"),
+        col("emitted_ms"), col("ua"), col("cookies"), col("cookie_jar"), col("host"), col("host_bucket"), col("priority"),
         posexplode_outer(col("items")).as(Seq("local_pos", "item")))
       .withColumn("pos", col("cursor") + col("local_pos"))
       .drop("local_pos")
@@ -312,6 +344,9 @@ final class Crawler(
         StructField("scheduled_ms", LongType), StructField("fetch_seq", LongType),
         StructField("emitted_ms", LongType),
         StructField("ua", StringType), StructField("cookies", StringType),
+        StructField("cookie_jar", ArrayType(StructType(Seq(
+          StructField("name", StringType), StructField("value", StringType),
+          StructField("domain", StringType), StructField("expiresHours", IntegerType))))),
         StructField("items", ArrayType(itemType)), StructField("next_page_url", StringType),
         StructField("n_scope", IntegerType), StructField("paginate_goon", BooleanType),
         StructField("error", StringType))))
@@ -370,6 +405,10 @@ object Crawler {
       // bottleneck (≈10^7+ seen urls); below that the extra bloom-build
       // action + double scan per round costs more than it saves
       bloomThreshold: Long = 10000000L,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      // per-page extraction wall-clock budget (L12, reference's per-step
+      // chromedp timeout); 0 = unbounded. A page over budget becomes an
+      // error = "timeout..." row, never a stage failure.
+      timeBudgetMs: Long = 0L
   ) extends Serializable
 }

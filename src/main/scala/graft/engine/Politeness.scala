@@ -78,15 +78,32 @@ object Politeness {
 
   /** Adds `scheduled_ms` (virtual emission time per host, ms from crawl
     * start of round) and `fetch_seq` (0-based per-host order).
+    *
+    * `concurrency` (reference `config/config.go:17-18`, declared-but-TODO
+    * there): c requests may be in flight per host simultaneously — requests
+    * are grouped into waves of c, and the inter-request delay applies
+    * between WAVES (the wave leader's jitter draw), so
+    * scheduled(k) = Σ gaps of wave leaders before k's wave. At c=1 this
+    * reduces exactly to the previous per-request cumulative formula. All
+    * windows share the host partitioning — one shuffle, reused exchanges.
     */
   def schedule(df: DataFrame, conf: Config): DataFrame = {
     if (!conf.enabled) return df.withColumn("scheduled_ms", lit(0L)).withColumn("fetch_seq", lit(0L))
     val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    val upTo = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val seq = row_number().over(w).cast("long") - 1
-    val cumGap = sum(gapMs(conf, col("url_hash"))).over(
-      Window.partitionBy(col("host")).orderBy(col("url"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - gapMs(conf, col("url_hash"))
-    val withSeq = df.withColumn("fetch_seq", seq).withColumn("delay_cum_ms", cumGap)
+    val c = math.max(1, conf.concurrency).toLong
+    // wave-leader gap: null on followers so `last(..., ignoreNulls)` picks
+    // the row's OWN wave leader (waves are contiguous in the host order);
+    // projected first so the windowed sums don't nest window functions
+    val withSeq = df.withColumn("fetch_seq", seq)
+      .withColumn("__leader_gap",
+        when(pmod(col("fetch_seq"), lit(c)) === 0, gapMs(conf, col("url_hash")))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("delay_cum_ms",
+        sum(coalesce(col("__leader_gap"), lit(0L))).over(upTo) -
+          last(col("__leader_gap"), ignoreNulls = true).over(upTo))
+      .drop("__leader_gap")
     val throttled =
       if (conf.throttleNum > 0) {
         // floor: request k of a host may not start before

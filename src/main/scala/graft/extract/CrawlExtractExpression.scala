@@ -32,15 +32,18 @@ case class CrawlExtractExpression(
     urlExpr: Expression,
     pageNoExpr: Expression,
     cursorExpr: Expression,
+    iframeHtmlExpr: Expression,
     job: Job,
     mode: AttrMode,
-    scroll: Boolean
+    scroll: Boolean,
+    timeBudgetMs: Long
 ) extends Expression with CodegenFallback {
 
-  override def children: Seq[Expression] = Seq(htmlExpr, urlExpr, pageNoExpr, cursorExpr)
+  override def children: Seq[Expression] = Seq(htmlExpr, urlExpr, pageNoExpr, cursorExpr, iframeHtmlExpr)
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(htmlExpr = newChildren(0), urlExpr = newChildren(1), pageNoExpr = newChildren(2), cursorExpr = newChildren(3))
+    copy(htmlExpr = newChildren(0), urlExpr = newChildren(1), pageNoExpr = newChildren(2),
+      cursorExpr = newChildren(3), iframeHtmlExpr = newChildren(4))
 
   override def nullable: Boolean = false
 
@@ -65,7 +68,10 @@ case class CrawlExtractExpression(
       return result(Vector.empty, "", 0, goon = false, "page not found in corpus")
 
     // `r.extract` wraps panics into errors (`svcimpl.go:851-861`); one bad
-    // page must never fail the stage (SURVEY.md L13).
+    // page must never fail the stage (SURVEY.md L13). The per-page time
+    // budget (L12, `svcimpl.go:321-327`) is armed around the whole step —
+    // Deadline.Exceeded lands in the same recover path as an error row.
+    graft.html.Deadline.arm(timeBudgetMs)
     try {
       val htmlStr = htmlV match {
         case b: Array[Byte]  => new String(b, java.nio.charset.StandardCharsets.UTF_8)
@@ -73,9 +79,19 @@ case class CrawlExtractExpression(
         case other           => other.toString
       }
       val doc = Extractor.parseDocument(htmlStr)
+      // cross-document iframe: the crawler joins the framed page's html in
+      // when the job scopes into an iframe whose element carries only a src
+      val framed: Option[graft.html.HElem] =
+        if (!job.cssSelector.iframe) None
+        else iframeHtmlExpr.eval(input) match {
+          case null              => None
+          case b: Array[Byte]    => Some(Extractor.parseDocument(b))
+          case s: UTF8String     => Some(Extractor.parseDocument(s.toString))
+          case other             => Some(Extractor.parseDocument(other.toString))
+        }
       val (items, nScope) =
-        if (scroll) Extractor.extractScrollPage(doc, job, url, mode, cursor)
-        else (Extractor.extractPage(doc, job, pageNo, url, mode)._1, 0)
+        if (scroll) Extractor.extractScrollPage(doc, job, url, mode, cursor, framed)
+        else (Extractor.extractPage(doc, job, pageNo, url, mode, framed)._1, 0)
       val nextUrl = nextPageUrl(doc, job, pageNo, url, mode)
       // last-page guard L3 (`svcimpl.go:442-447,589-599`): condition read
       // against the (possibly iframe-scoped) page
@@ -88,7 +104,7 @@ case class CrawlExtractExpression(
     } catch {
       case e: Exception =>
         result(Vector.empty, "", 0, goon = false, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-    }
+    } finally graft.html.Deadline.disarm()
   }
 
   /** Pagination-link discovery (L4/L6, SURVEY.md §2.3).
@@ -104,7 +120,11 @@ case class CrawlExtractExpression(
     * empty successor, SURVEY.md L4).
     */
   private def nextPageUrl(doc: graft.html.HElem, job: Job, pageNo: Int, baseUrl: String, mode: AttrMode): String = {
-    val p = job.resolvedPaginator(pageNo)
+    val p0 = job.resolvedPaginator(pageNo)
+    // the reference's click resolves via chromedp.BySearch, which accepts an
+    // xpath in the Css field too (`iframe_test.go:79` does exactly that) —
+    // dispatch on the leading '/'
+    val p = if (p0.xpath.isEmpty && p0.css.startsWith("/")) p0.copy(xpath = p0.css, css = "") else p0
     if (p.xpath.nonEmpty) {
       if (graft.xpath.XPathAttr.isAttrPath(p.xpath))
         try graft.xpath.XPathAttr.findOne(doc, p.xpath) catch { case _: Exception => "" }
@@ -143,11 +163,13 @@ object CrawlExtractExpression {
 
   /** Column API: `crawl_extract($"html", $"url", $"page_no", $"cursor")`. */
   def apply(html: Column, url: Column, pageNo: Column, cursor: Column, job: Job,
-            mode: AttrMode = JsProperty, scroll: Boolean = false): Column = {
+            mode: AttrMode = JsProperty, scroll: Boolean = false,
+            iframeHtml: Column = lit(null), timeBudgetMs: Long = 0L): Column = {
     ExpressionUtils.column(CrawlExtractExpression(
       ExpressionUtils.expression(html), ExpressionUtils.expression(url),
       ExpressionUtils.expression(pageNo), ExpressionUtils.expression(cursor),
-      job, mode, scroll))
+      ExpressionUtils.expression(iframeHtml),
+      job, mode, scroll, timeBudgetMs))
   }
 
   def apply(html: Column, url: Column, job: Job): Column =

@@ -44,8 +44,11 @@ object Extractor {
     parseDocument(new String(html, java.nio.charset.StandardCharsets.UTF_8))
 
   /** `svcimpl.go:638-656` iframe: resolve the father node. On a static
-    * corpus the iframe subtree is inlined (SURVEY.md P12); cross-document
-    * iframes are a documented limitation.
+    * corpus the iframe subtree is either inlined (SURVEY.md P12) or, for a
+    * cross-document iframe (`src` pointing at another corpus url), the
+    * framed page is joined in by the crawler and its parsed document
+    * replaces the empty iframe element as the extraction context — see
+    * [[resolveIframeContext]].
     */
   def iframeFather(doc: HElem, sel: Selector): Option[HElem] =
     if (!sel.iframe) None
@@ -57,12 +60,25 @@ object Extractor {
       case None => Css.selectFirst(doc, "iframe")
     }
 
+  /** Cross-document iframe (reference: chromedp switches into the frame's
+    * own document, `svcimpl.go:638-656`): when the matched iframe element
+    * has no inlined content and the crawler supplied the framed page,
+    * extraction scopes against the framed DOCUMENT (so scopes like
+    * `body > form > table` resolve as they would inside the live frame).
+    */
+  def resolveIframeContext(doc: HElem, sel: Selector, framed: Option[HElem]): Option[HElem] =
+    iframeFather(doc, sel) match {
+      case Some(el) if framed.isDefined && !el.children.exists(_.isInstanceOf[HElem]) => framed
+      case other => other
+    }
+
   /** Top-level extraction for one page: the body of `r.extract`
     * (`svcimpl.go:850-888`) minus browser plumbing. Returns (items,
     * nextPageUrl).
     */
-  def extractPage(doc: HElem, job: Job, pageNo: Int, baseUrl: String, mode: AttrMode): (Vector[XVal], String) = {
-    val father = iframeFather(doc, job.cssSelector)
+  def extractPage(doc: HElem, job: Job, pageNo: Int, baseUrl: String, mode: AttrMode,
+                  framed: Option[HElem] = None): (Vector[XVal], String) = {
+    val father = resolveIframeContext(doc, job.cssSelector, framed)
     val p = job.resolvedPaginator(pageNo)
     if (job.cssSelector.isXpath) {
       // xpath path works on the (possibly iframe-scoped) document snapshot
@@ -86,7 +102,8 @@ object Extractor {
     * matched this round (`svcimpl_scroll.go:430-448`); caller adds the old
     * cursor (`svcimpl_scroll.go:426`).
     */
-  def extractScrollPage(doc: HElem, job: Job, baseUrl: String, mode: AttrMode, cursor: Int): (Vector[XVal], Int) = {
+  def extractScrollPage(doc: HElem, job: Job, baseUrl: String, mode: AttrMode, cursor: Int,
+                        framed: Option[HElem] = None): (Vector[XVal], Int) = {
     val sel0 = job.cssSelector
     // cursor rewrite (`svcimpl_scroll.go:363-372`): css scope →
     // `orig:nth-child(n+cursor+1)`; xpath scope → CursorScopeByPosition.
@@ -95,7 +112,7 @@ object Extractor {
       else if (sel0.scope.nonEmpty) sel0.copy(scope = s"${sel0.scope}:nth-child(n+${cursor + 1})")
       else if (sel0.xpathScope.nonEmpty) sel0.copy(xpathScope = XPathAttr.cursorScopeByPosition(sel0.xpathScope, cursor + 1))
       else sel0
-    val father = iframeFather(doc, sel)
+    val father = resolveIframeContext(doc, sel, framed)
     if (sel.isXpath) {
       val ctx = father.getOrElse(doc)
       val scopeNodes =

@@ -105,6 +105,7 @@ final class HElem(
     children.reverseIterator.foreach(stack.push)
     private var nextElem: HElem = advance()
     private def advance(): HElem = {
+      Deadline.check() // cooperative per-page extraction budget (L12)
       while (stack.nonEmpty) {
         stack.pop() match {
           case e: HElem =>

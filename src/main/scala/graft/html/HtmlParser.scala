@@ -84,6 +84,7 @@ object HtmlParser {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<' && i + 1 < n) {
+        Deadline.check() // cooperative per-page extraction budget (L12)
         val c1 = s.charAt(i + 1)
         if (c1 == '!') {
           flushText()

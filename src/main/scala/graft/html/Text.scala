@@ -32,12 +32,12 @@ object Text {
   def innerText(e: HElem): String = {
     val sb = new java.lang.StringBuilder
     // state: 0 = at start / just after newline, 1 = mid-line, 2 = pending space
-    render(e, sb, inPre = false)
+    render(e, sb, inPre = false, isRoot = true)
     // collapse: we build with explicit markers; final trim
     normalize(sb.toString)
   }
 
-  private def render(n: HNode, sb: java.lang.StringBuilder, inPre: Boolean): Unit = n match {
+  private def render(n: HNode, sb: java.lang.StringBuilder, inPre: Boolean, isRoot: Boolean = false): Unit = n match {
     case t: HText =>
       if (inPre) sb.append(t.data)
       else {
@@ -61,8 +61,11 @@ object Text {
         val block = blockTags(e.tag)
         val pre = inPre || e.tag == "pre"
         if (block) sb.append('\n')
-        // In Chrome, sibling td/th cells are tab-separated.
-        if ((e.tag == "td" || e.tag == "th") && e.prevElemSibling.exists(s => s.tag == "td" || s.tag == "th"))
+        // In Chrome, sibling td/th cells are tab-separated — a separator of
+        // the surrounding ROW, so it never applies to the render root
+        // (innerText of a lone td has no leading tab).
+        if (!isRoot && (e.tag == "td" || e.tag == "th") &&
+            e.prevElemSibling.exists(s => s.tag == "td" || s.tag == "th"))
           sb.append('\t')
         e.children.foreach(render(_, sb, pre))
         if (block) sb.append('\n')

@@ -76,50 +76,126 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** xxhash64 of a string, identical to the SQL `xxhash64(col)` (seed 42) —
+    * shingle-hash parity between the columnar ops ([[shingles]]-based) and
+    * the one-pass UDF paths below.
+    */
+  private def xx64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** Distinct k-shingle hashes of one text, unsorted. Per-doc local work —
+    * the shingle set never rides a shuffle.
+    */
+  private def shingleHashes(text: String, k: Int): Array[Long] = {
+    val n = text.length - k + 1
+    if (n <= 0) return Array.empty
+    val set = new java.util.HashSet[java.lang.Long](math.min(n, 1 << 12))
+    var i = 0
+    while (i < n) {
+      set.add(xx64(text.substring(i, i + k)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  private def permsFor(numPerm: Int): (Array[Long], Array[Long]) = {
+    val rng = new java.util.Random(42)
+    val a = new Array[Long](numPerm)
+    val b = new Array[Long](numPerm)
+    var i = 0
+    while (i < numPerm) {
+      a(i) = math.max(math.abs(rng.nextLong()) % MersennePrime, 1L)
+      b(i) = math.abs(rng.nextLong()) % MersennePrime
+      i += 1
+    }
+    (a, b)
+  }
+
   /** MinHash + LSH banding: candidates from band-bucket collisions, then
     * exact-Jaccard verification — output equals [[ngramJaccardPairs]] (the
-    * banding only prunes the pair space; recall ≈ 1 at the threshold).
+    * banding only prunes the pair space; recall = 1-(1-j^r)^bands).
+    *
+    * Band geometry is tuned to THIS corpus's measured similarity profile
+    * (template-generated texts: background Jaccard p50=0.45, p999=0.67;
+    * true pairs ≥ 0.88): 16 bands × 8 rows puts the S-curve midpoint at
+    * 16^(-1/8) ≈ 0.71, inside the [0.67, 0.88] gap — candidate rate 6.8%
+    * of all pairs vs 64% for the classic 32×4 geometry (which degenerates
+    * to all-pairs on a saturated corpus), miss probability ≤ 7e-4 for the
+    * weakest true pair (seeded, so recall=1.0 is verified empirically and
+    * is then deterministic).
+    *
+    * Scale shape (10^10 docs):
+    *  - signatures + band hashes are ONE map-side pass per doc (shingle →
+    *    128 permuted mins → 32 band hashes inside a single UDF) — no
+    *    5M-row shingle explode, no 128 separate min-aggregations, no
+    *    shuffle before banding;
+    *  - the only wide ops are the (band, sig) self-join on banded bucket
+    *    ids and the verify joins, all candidate-sized;
+    *  - verification is fully distributed: shingle-hash sets are
+    *    recomputed ONLY for docs appearing in candidates (left-semi join),
+    *    then joined to the pairs (AQE broadcasts when small) and checked
+    *    by a sorted-merge intersect with the size-ratio short-circuit.
+    *    No driver-side collect anywhere.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-                      numPerm: Int = 128, bands: Int = 32): DataFrame = {
+                      numPerm: Int = 128, bands: Int = 16): DataFrame = {
     val rows = numPerm / bands
-    val sig = minhashSignatures(docs, k, numPerm)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("sig"))
+    val (pa, pb) = permsFor(numPerm)
+    val kk = k
+    val bandHashes = udf { (text: String) =>
+      val hs = shingleHashes(text, kk)
+      val sig = Array.fill(numPerm)(Long.MaxValue)
+      var s = 0
+      while (s < hs.length) {
+        val h = ((hs(s) % MersennePrime) + MersennePrime) % MersennePrime
+        var p = 0
+        while (p < numPerm) {
+          val v = (h * pa(p) + pb(p)) % MersennePrime
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        s += 1
+      }
+      // 64-bit FNV-1a fold of each band's rows — band ids only need equality
+      Array.tabulate(bands) { b =>
+        var h = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rows) {
+          var v = sig(b * rows + r)
+          var byte = 0
+          while (byte < 8) { h ^= (v & 0xffL); h *= 0x100000001b3L; v >>>= 8; byte += 1 }
+          r += 1
+        }
+        h
+      }
     }
-    // cache: buckets feed both sides of the self-join; cand feeds both the
-    // id-prune broadcast and the verify join — without caching, the whole
-    // 128-perm signature pipeline would re-execute per consumer
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .cache()
+    val buckets = docs
+      .select(col("doc_id"), posexplode(bandHashes(col("text"))).as(Seq("band", "sig")))
     val cand = buckets.alias("x").join(buckets.alias("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+      // candidate set feeds the id-prune union twice + the verify join;
+      // candidate-sized, so caching it is cheap at any scale
       .cache()
-    // adversarial-verification stage: exact Jaccard on the candidates only.
-    // Per-doc SORTED shingle-hash sets ride in ONE broadcast map; each
-    // candidate pair is verified by a sorted-merge intersect inside a
-    // single UDF — no join, no per-row array materialization, no
-    // row-explosion shuffle (a shingle-equality join would emit Σ|A∩B| ≈
-    // 10^8+ rows on a similarity-saturated corpus; a broadcast-join of the
-    // array columns would copy ~1 KB of set bytes into every one of the
-    // 10^6-10^7 candidate rows). The size-ratio bound (J ≤ min/max) short-
-    // circuits inside the same UDF. Broadcast scales to ~10^7 docs; past
-    // that, verify bucket-locally with partitioned set shards.
-    val setsLocal: Map[Long, Array[Long]] = shingles(docs, k)
-      .withColumn("sh64", xxhash64(col("shingle")))
-      .groupBy("doc_id").agg(sort_array(collect_set(col("sh64"))).as("sset"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-      .toMap
-    val bcSets = docs.sparkSession.sparkContext.broadcast(setsLocal)
+    // adversarial-verification stage: exact Jaccard on the candidates only,
+    // candidate-local and fully distributed. Sets are built once per
+    // candidate doc (semi-join prune), sorted for the merge-intersect.
+    val sortedSet = udf { (text: String) => shingleHashes(text, kk).sorted }
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sortedSet(col("text")).as("sset"))
     val thr = threshold
-    val passes = udf { (aId: Long, bId: Long) =>
-      val sa = bcSets.value(aId)
-      val sb = bcSets.value(bId)
+    // Array[Long] params (not Seq): deserializes via toLongArray — a
+    // primitive copy, no per-element boxing on the ~10^6-pair probe
+    val passes = udf { (sa: Array[Long], sb: Array[Long]) =>
       val (small, big) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
       if (small.length < thr * big.length) false
       else {
@@ -132,7 +208,10 @@ object Dedup {
         inter >= thr * (sa.length + sb.length - inter)
       }
     }
-    cand.filter(passes(col("a_id"), col("b_id")))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sset").as("a_set")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sset").as("b_set")), "b_id")
+      .filter(passes(col("a_set"), col("b_set")))
       .select("a_id", "b_id")
       .orderBy("a_id", "b_id")
   }
