@@ -74,6 +74,25 @@ object CrawlQueries {
     paginator = Selector(css = "a.next", attr = "href"),
     limit = 3)
 
+  /** `iframe_test.go:59-105` (suzhou) shape: CROSS-DOCUMENT iframe — the
+    * iframe element carries only a src; the crawler joins the framed page
+    * from the corpus and extraction scopes against the framed document
+    * (hence the `body > ...` scope, which only exists in the framed doc).
+    */
+  val xifrJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      iframe = true,
+      iframeSelector = Some(Selector(css = "#xf")),
+      scope = "body > form > table > tbody > tr",
+      attrs = Some(Map(
+        "content" -> Selector(css = "a", attr = "title"),
+        "link" -> Selector(css = "a", attr = "href"),
+        "date_s" -> Selector(css = "td:last-child")
+      ))),
+    paginator = Selector(css = "span.upordown > a.nxt", attr = "href"),
+    limit = 2)
+
   /** `scroll_test.go:17-34` shape: load-more with cursor dedup. */
   val moreJob: Job = Job(
     link = "",
@@ -239,6 +258,27 @@ object CrawlQueries {
   def politenessSchedule(spark: SparkSession, sfDir: String): DataFrame = {
     val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/list/p1.html")
     val c = crawler(spark, sfDir, politeness = Politeness.Config(delayMinMs = 100, delayMaxMs = 100))
+    c.crawl(listJob, seeds)
+      .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),
+        col("page_no").cast("long").as("page_no"), col("url"),
+        col("scheduled_ms"), col("fetch_seq"))
+      .distinct()
+      .orderBy("doc_id", "page_no")
+  }
+
+  def crawlIframeXdoc(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/xifr/p1.html")
+    flatten(crawler(spark, sfDir).crawl(xifrJob, seeds), Seq("content", "link", "date_s"))
+  }
+
+  /** Concurrency=2 politeness: per host, requests pace in waves of two —
+    * wave w starts at w*delay (the reference's declared-but-TODO
+    * `Concurrency` knob, `config/config.go:17-18`, implemented here).
+    */
+  def politenessConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/list/p1.html")
+    val c = crawler(spark, sfDir,
+      politeness = Politeness.Config(delayMinMs = 100, delayMaxMs = 100, concurrency = 2))
     c.crawl(listJob, seeds)
       .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),
         col("page_no").cast("long").as("page_no"), col("url"),

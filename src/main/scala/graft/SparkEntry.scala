@@ -30,8 +30,10 @@ object SparkEntry {
     "crawl_robots" -> (CrawlQueries.crawlRobots(_, _)),
     "crawl_edge" -> (CrawlQueries.crawlEdge(_, _)),
     "crawl_entities" -> (CrawlQueries.crawlEntities(_, _)),
+    "crawl_iframe_xdoc" -> (CrawlQueries.crawlIframeXdoc(_, _)),
     "url_seen" -> (CrawlQueries.urlSeen(_, _)),
     "politeness_schedule" -> (CrawlQueries.politenessSchedule(_, _)),
+    "politeness_concurrency" -> (CrawlQueries.politenessConcurrency(_, _)),
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
     // --- training-data pipeline ops ---
     "dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
@@ -134,6 +136,23 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY h, page_no ORDER BY url) - 1) * 100 AS scheduled_ms,
         |  row_number() OVER (PARTITION BY h, page_no ORDER BY url) - 1 AS fetch_seq
         |FROM pages ORDER BY 1,2""".stripMargin,
+    "politeness_concurrency" ->
+      """WITH pages AS (
+        |  SELECT doc_id, k AS page_no,
+        |    'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
+        |    doc_id%50 AS h
+        |  FROM documents, generate_series(1,3) s(k))
+        |SELECT doc_id, page_no, url,
+        |  ((row_number() OVER (PARTITION BY h, page_no ORDER BY url) - 1) // 2) * 100 AS scheduled_ms,
+        |  row_number() OVER (PARTITION BY h, page_no ORDER BY url) - 1 AS fetch_seq
+        |FROM pages ORDER BY 1,2""".stripMargin,
+    "crawl_iframe_xdoc" ->
+      """SELECT d.doc_id, k AS page_no, i-1 AS pos,
+        |  'XD '||d.doc_id||' '||k||'-'||i||' '||substr(d.text,1,40) AS content,
+        |  'http://h'||(d.doc_id%50)||'.test/d'||d.doc_id||'/xifr/xart_'||d.doc_id||'_'||k||'_'||i||'.html' AS link,
+        |  '2025-0'||k||'-0'||i AS date_s
+        |FROM documents d, generate_series(1,2) s(k), generate_series(1,3) s2(i)
+        |ORDER BY 1,2,3""".stripMargin,
     "crawl_metrics" ->
       """SELECT 'h'||(doc_id%50)||'.test' AS host, count(*)*3 AS pages
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

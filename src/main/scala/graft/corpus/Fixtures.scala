@@ -24,6 +24,8 @@ import graft.html.Entities
   *   /cmt/p{k}.html   k=1..3   xpath comments    (xpath_test.go:18-35)
   *   /cond/p{k}.html  k=1..6   paginate-condition, disabled at k=5 (ctrip_test.go:109-138)
   *   /ifr/p{k}.html   k=1..3   iframe table      (iframe_test.go:15-41)
+  *   /xifr/p{k}.html + /xifr/f{k}.html  k=1..2  cross-document iframe
+  *                              (iframe_test.go:59-105 suzhou shape)
   *   /more/s{k}.html  k=1..3   load-more cumulative list (scroll_test.go:17-34)
   *   /feed/s{k}.html  k=1..3   tweet-like feed   (scroll_smooth_test.go:16-47)
   *   /dyn/p{k}.html   k=1..3   dynamic paginator (dynamic_nextpagebtn_test.go:36-40)
@@ -132,6 +134,20 @@ object Fixtures {
       add(s"$b/dyn/p$k.html",
         s"""<html><body><ul class="dl">$items</ul>$pager</body></html>""",
         sn)
+    }
+
+    // ---- xifr: CROSS-DOCUMENT iframe — the parent page holds only an
+    // <iframe src>, content lives at a separate corpus url that the crawler
+    // joins in (iframe_test.go:59-105 suzhou shape; SURVEY.md P12 completed)
+    for (k <- 1 to 2) {
+      val pager = if (k < 2) s"""<span class="upordown"><a class="nxt" href="p${k + 1}.html">next</a></span>""" else ""
+      add(s"$b/xifr/p$k.html",
+        s"""<html><body><h1>x $d</h1><iframe id="xf" src="f$k.html"></iframe>$pager</body></html>""",
+        sn)
+      val rows = (1 to 3).map { i =>
+        s"""<tr><td><a href="xart_${d}_${k}_$i.html" title="XD $d $k-$i $snAttr">x$i</a></td><td>2025-0$k-0$i</td></tr>"""
+      }.mkString
+      add(s"$b/xifr/f$k.html", s"""<form><table><tbody>$rows</tbody></table></form>""", sn)
     }
 
     // ---- robots gating targets (host-root paths so `Disallow: /blocked/`

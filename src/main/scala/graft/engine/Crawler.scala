@@ -34,6 +34,12 @@ final class Crawler(
 
   private val corpusPages = corpus.select(col("url"), col("html"))
 
+  /** Successor rows the sketch prefilter proved new (skipped the exact
+    * anti-join shuffle) — observable pruning metric for tests/telemetry.
+    */
+  val prefilterSkipped: org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft_prefilter_skipped")
+
   /** `Rabida.Crawl` (`svc.go:93-101`): paginated crawl over seeds sharing
     * one Job shape. Default seed list = the job's own link
     * (`svcimpl.go:256-259` StartPageUrl override included).
@@ -149,6 +155,34 @@ final class Crawler(
     }
     var round = resumed.map(_.round).getOrElse(0)
     val perRound = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    // partitioned cuckoo-filter URL-seen set (north star): one filter per
+    // pmod(url_hash, hostBuckets) shard. Shards are built DISTRIBUTEDLY
+    // (aggregateByKey: per-partition inserts, compact blob merge) and kept
+    // on the driver between rounds; only the round's new urls are inserted
+    // incrementally — except the first active round (or resume), which
+    // backfills from the full seen set so the sketch can never false-
+    // negative. At 10^10 urls the shards live co-partitioned with the
+    // frontier's seen table instead of a driver map; the dataflow (shard by
+    // url hash, probe map-side, exact anti-join as authority) is identical.
+    val cuckooShards = scala.collection.mutable.Map[Int, CuckooFilter]()
+    var cuckooPrimed = false
+    def cuckooActive(se: Long): Boolean = se > config.cuckooThreshold
+    def insertIntoCuckoo(df: DataFrame): Unit = {
+      val nShards = config.hostBuckets
+      val fresh = df
+        .select(pmod(col("url_hash"), lit(nShards)).cast("int").as("shard"), col("url_hash"))
+        .rdd.map(r => (r.getInt(0), r.getLong(1)))
+        .aggregateByKey(CuckooFilter.create(config.cuckooCapacityPerShard))(
+          (f, h) => { f.insert(h); f }, (a, b) => a.merge(b))
+        .collect()
+      fresh.foreach { case (s, f) =>
+        cuckooShards.get(s) match {
+          case Some(existing) => existing.merge(f)
+          case None           => cuckooShards(s) = f
+        }
+      }
+    }
 
     // driver-side running size of the seen set — avoids a count() job per
     // round (successor batches are disjoint from seen by construction, so
@@ -266,6 +300,13 @@ final class Crawler(
       seen = seen.union(newSeen).localCheckpoint(true)
       seenEstimate += batchCount
 
+      if (cuckooActive(seenEstimate)) {
+        // first active round (incl. resume) backfills ALL of seen; after
+        // that only the round's batch is inserted
+        insertIntoCuckoo(if (cuckooPrimed) newSeen else seen)
+        cuckooPrimed = true
+      }
+
       // successor generation: L2 (no paginator → next empty), L3 (condition
       // goon), L10 (limit abort), self-loop guard, robots, URL-seen anti-join
       val limitOk =
@@ -280,21 +321,42 @@ final class Crawler(
         .dropDuplicates("seed_id", "url")
       val succHashed = enrich(robotsFilter(rawSucc), col("succ_priority")).drop("succ_priority")
 
-      // bloom prefilter before the exact anti-join once seen is large —
-      // prunes the shuffle; the anti-join stays the authority (no FPs lost:
-      // bloom has no false negatives, so anything it removes IS seen)
-      val preFiltered =
+      // URL-seen sketch prefilter before the exact anti-join once seen is
+      // large: the broadcast bloom (global) AND the partitioned cuckoo
+      // shards (per url-hash shard) — a successor pays the anti-join
+      // shuffle only if EVERY active sketch says "maybe seen". Neither
+      // sketch can false-negative, so definitely-new rows skip the shuffle
+      // with zero loss; the anti-join stays the authority on the residue.
+      val bloomOpt =
         if (seenEstimate > config.bloomThreshold) {
           val bloom = seen.stat.bloomFilter("url_hash", math.max(seenEstimate, 1000L), 0.01)
-          val bcBloom = spark.sparkContext.broadcast(bloom)
-          val mightBeSeen = udf((h: Long) => bcBloom.value.mightContain(h))
-          // keep rows that might be seen for the exact check; definitely-new
-          // rows skip the anti-join shuffle entirely
+          Some(spark.sparkContext.broadcast(bloom))
+        } else None
+      val cuckooOpt =
+        if (cuckooPrimed && cuckooShards.nonEmpty)
+          Some(spark.sparkContext.broadcast(cuckooShards.toMap))
+        else None
+      val preFiltered =
+        if (bloomOpt.isEmpty && cuckooOpt.isEmpty)
+          succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+        else {
+          val nShards = config.hostBuckets
+          val acc = prefilterSkipped
+          val mightBeSeen = udf { (h: Long) =>
+            val might =
+              bloomOpt.forall(_.value.mightContain(h)) &&
+                cuckooOpt.forall { bc =>
+                  val shard = (((h % nShards) + nShards) % nShards).toInt
+                  bc.value.get(shard).exists(_.contains(h))
+                }
+            if (!might) acc.add(1L)
+            might
+          }
           val definitelyNew = succHashed.filter(!mightBeSeen(col("url_hash")))
           val maybeSeen = succHashed.filter(mightBeSeen(col("url_hash")))
             .join(seen, Seq("seed_id", "url_hash"), "left_anti")
           definitelyNew.unionByName(maybeSeen)
-        } else succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+        }
 
       val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
         "host", "url_hash", "host_bucket", "priority")
@@ -405,6 +467,11 @@ object Crawler {
       // bottleneck (≈10^7+ seen urls); below that the extra bloom-build
       // action + double scan per round costs more than it saves
       bloomThreshold: Long = 10000000L,
+      // partitioned cuckoo URL-seen shards activate past this seen-set size
+      // (north star pairs them with the bloom); capacity sizes each shard's
+      // table — overflow degrades to the victim stash, never false-negates
+      cuckooThreshold: Long = 10000000L,
+      cuckooCapacityPerShard: Long = 1L << 18,
       checkpointDir: Option[String] = None,
       // per-page extraction wall-clock budget (L12, reference's per-step
       // chromedp timeout); 0 = unbounded. A page over budget becomes an

@@ -44,6 +44,23 @@ class EngineSurfaceSpec extends AnyFunSuite {
     assert(limited.toSeq == full.toSeq)
   }
 
+  test("cuckoo+bloom sketch prefilter agrees with the exact anti-join and prunes") {
+    val plain = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
+      .filter(col("item").isNotNull)
+      .select("seed_id", "url", "page_no", "pos", "item.title").collect().map(_.toString).sorted
+    // force both sketches on from the first round; the list family has
+    // repeat successors (the same p2/p3 urls discovered each round per
+    // seed), so the prefilter has both prune and pass-through traffic
+    val cr = new Crawler(spark, corpus,
+      Crawler.Config(bloomThreshold = 0L, cuckooThreshold = 0L))
+    val sketched = cr.crawl(CrawlQueries.listJob, seeds)
+      .filter(col("item").isNotNull)
+      .select("seed_id", "url", "page_no", "pos", "item.title").collect().map(_.toString).sorted
+    assert(sketched.toSeq == plain.toSeq) // agreement: sketches lose nothing
+    assert(cr.prefilterSkipped.value > 0,
+      "prefilter must prove some successors new and skip the anti-join for them")
+  }
+
   test("deterministic per-url UA assignment from the pool") {
     val out = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
       .select("url", "ua").distinct().collect()
