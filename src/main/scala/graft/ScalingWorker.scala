@@ -13,15 +13,30 @@ object ScalingWorker {
     val spark = Bench.mkSession(cores.toString)
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
+    // family=list keeps only the crawled family's pages so the corpus (and
+    // its cache) stays proportional to the measured work — lets `mult`
+    // grow the ROUND SIZE into the regime a 10^10-URL frontier is always
+    // in, where per-round driver fixed costs amortize away
+    val listOnly = sys.env.get("SPARK_GRAFT_FAMILY").contains("list")
+    // shj mode: url-pre-partitioned corpus + shuffle-hash fetch join — the
+    // bucketed-corpus plan whose per-round hash build parallelizes across
+    // executors instead of serializing on the driver's broadcast build
+    val shj = sys.env.get("SPARK_GRAFT_JOIN").contains("shj")
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text", "lang").as[graft.corpus.Fixtures.Doc].collect()
     val docs = (0 until mult).flatMap(m =>
       baseDocs.map(d => d.copy(doc_id = d.doc_id + m * 1000000L)))
-    val corpus = spark.createDataset(docs).repartition(cores * 2)
-      .flatMap(graft.corpus.Fixtures.pagesForDoc _).toDF()
+    val corpus0 = spark.createDataset(docs).repartition(cores * 2)
+      .flatMap { d: graft.corpus.Fixtures.Doc =>
+        val pages = graft.corpus.Fixtures.pagesForDoc(d)
+        if (listOnly) pages.filter(_.url.contains("/list/")) else pages
+      }.toDF()
+    import org.apache.spark.sql.functions.col
+    val corpus = if (shj) corpus0.repartition(cores, col("url")) else corpus0
     corpus.cache(); corpus.count()
     val seeds = docs.map(d => (s"d${d.doc_id}", s"${graft.corpus.Fixtures.base(d.doc_id)}/list/p1.html"))
-    val crawler = new graft.engine.Crawler(spark, corpus)
+    val crawler = new graft.engine.Crawler(spark, corpus,
+      graft.engine.Crawler.Config(broadcastFrontier = !shj))
     crawler.crawl(CrawlQueries.listJob, seeds.take(50)).count() // warmup
     val times = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
@@ -55,8 +70,11 @@ object ScalingBenchForked {
       "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_XMX", "24g")
+    val gc = sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")
+
     def runOnce(cores: Int): (Long, Double) = {
-      val cmd = Seq(s"$javaHome/bin/java", "-Xmx24g", "-XX:+UseParallelGC",
+      val cmd = Seq(s"$javaHome/bin/java", s"-Xmx$xmx", s"-XX:+$gc",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
         addOpens ++ Seq("-cp", cp, "graft.ScalingWorker", cores.toString, sfDir, mult.toString)
       val pb = new ProcessBuilder(cmd: _*)

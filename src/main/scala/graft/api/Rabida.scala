@@ -140,6 +140,13 @@ final class Rabida(spark: SparkSession, corpus: DataFrame, conf: RabiConfig = Ra
       .withColumn("cursor", org.apache.spark.sql.functions.lit(0))
   }
 
+  /** NOTE (scale): the callback API is inherently driver-side — the
+    * reference's `callback(ret, ...)` receives materialized rows, so every
+    * round's items are collect()ed here. That is the right surface for the
+    * reference's interactive use (pages of tens-hundreds of rows), but for
+    * big crawls use `Crawler.run` / `Crawler.crawl` directly: they return
+    * the full DataFrame and never collect.
+    */
   private def collectItems(pages: DataFrame): Seq[Row] = {
     import org.apache.spark.sql.functions._
     pages.select(posexplode_outer(col("items")).as(Seq("p", "item")))

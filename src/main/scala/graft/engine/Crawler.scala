@@ -214,8 +214,14 @@ final class Crawler(
 
       // fetch = scan-join; broadcast the (small) frontier batch so the big
       // corpus never shuffles (SURVEY.md S1). At 10^10-frontier scale the
-      // driver flips to SMJ by config; AQE splits skewed hosts.
-      val joinBatch = if (config.broadcastFrontier) broadcast(batch) else batch
+      // broadcast's DRIVER-SIDE hash build becomes the serial floor (it
+      // grows with round size), so broadcastFrontier=false switches to a
+      // shuffle-HASH join: with the corpus pre-partitioned by url (bucketed
+      // table at real scale) the corpus never re-shuffles and the hash
+      // build runs per-partition on the executors — fully parallel. AQE
+      // splits skewed hosts either way.
+      val joinBatch =
+        if (config.broadcastFrontier) broadcast(batch) else batch.hint("shuffle_hash")
       val fetched = joinBatch.join(corpusPages, Seq("url"), "inner")
         .withColumn("ua", uaCol)
         .withColumn("cookies", lit(job.enableCookies.rawCookies)) // S4 fetch metadata
@@ -438,6 +444,17 @@ final class Crawler(
   * ours is deterministic and seeded per url).
   */
 object UserAgents {
+
+  /** `useragent.RandomMacChromeUA()` parity (`useragent/random.go`): a
+    * Mac-platform Chrome UA; deterministic (seeded) here so crawls stay
+    * reproducible.
+    */
+  def randomMacChromeUA(seed: Long = 0L): String = {
+    val macChrome = pool.filter(ua =>
+      ua.contains("Macintosh") && ua.contains("Chrome/") && !ua.contains("Edg/"))
+    macChrome((math.abs(seed) % macChrome.length).toInt)
+  }
+
   val pool: Array[String] = Array(
     "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
     "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",

@@ -17,25 +17,40 @@ object Deadline {
 
   private val Stride = 1024
 
+  // fast-path gate: number of threads currently armed, anywhere in the JVM.
+  // When 0 (budgets unused — the common case), check() is ONE volatile read,
+  // so the poll point costs nothing measurable in the parse/extract loops.
+  @volatile private var armedThreads = 0
+
   private val deadlineMs = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
   private val counter = new ThreadLocal[Int] { override def initialValue(): Int = 0 }
 
   def arm(budgetMs: Long): Unit =
-    if (budgetMs > 0) deadlineMs.set(System.currentTimeMillis() + budgetMs)
+    if (budgetMs > 0) {
+      deadlineMs.set(System.currentTimeMillis() + budgetMs)
+      synchronized { armedThreads += 1 }
+    }
 
-  def disarm(): Unit = deadlineMs.set(0L)
+  def disarm(): Unit =
+    if (deadlineMs.get != 0L) {
+      deadlineMs.set(0L)
+      synchronized { armedThreads -= 1 }
+    }
 
-  /** One poll point; costs two ThreadLocal reads, reads the clock once per
-    * [[Stride]] calls.
+  /** One poll point; a single volatile read when no thread is armed, two
+    * ThreadLocal reads when some thread is, the clock once per [[Stride]]
+    * calls on the armed thread itself.
     */
   def check(): Unit = {
-    val d = deadlineMs.get
-    if (d != 0L) {
-      val c = counter.get
-      if (c <= 0) {
-        counter.set(Stride)
-        if (System.currentTimeMillis() > d) throw new Exceeded
-      } else counter.set(c - 1)
+    if (armedThreads != 0) {
+      val d = deadlineMs.get
+      if (d != 0L) {
+        val c = counter.get
+        if (c <= 0) {
+          counter.set(Stride)
+          if (System.currentTimeMillis() > d) throw new Exceeded
+        } else counter.set(c - 1)
+      }
     }
   }
 }

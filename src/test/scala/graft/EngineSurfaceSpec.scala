@@ -61,6 +61,25 @@ class EngineSurfaceSpec extends AnyFunSuite {
       "prefilter must prove some successors new and skip the anti-join for them")
   }
 
+  test("ip geolocation helper: QueryIP parity + broadcast enrichment (S12)") {
+    import graft.engine.IpGeo
+    val s = spark
+    import s.implicits._
+    val geo = Seq(
+      ("120.220.220.95", "success", "China", "CN", "SD", "Shandong", "Jinan",
+        "", 36.67d, 117.02d, "Asia/Shanghai", "China Mobile", "CMCC", "AS9808"))
+      .toDF(IpGeo.columns: _*)
+    assert(!IpGeo.queryIp(geo, ""))                    // lib/ip.go:16-19 empty ip
+    assert(IpGeo.queryIp(geo, "120.220.220.95"))       // lib/ip_test.go:5-7
+    assert(!IpGeo.queryIp(geo, "10.0.0.1"))            // lookup miss
+    val crawl = Seq(("http://a.test/", "120.220.220.95"), ("http://b.test/", "10.0.0.1"))
+      .toDF("url", "ip")
+    val enriched = IpGeo.enrich(crawl, col("ip"), geo)
+    assert(enriched.count() == 2) // left join keeps misses
+    val hit = enriched.filter(col("ip") === "120.220.220.95").head
+    assert(hit.getString(hit.fieldIndex("geo_city")) == "Jinan")
+  }
+
   test("deterministic per-url UA assignment from the pool") {
     val out = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
       .select("url", "ua").distinct().collect()

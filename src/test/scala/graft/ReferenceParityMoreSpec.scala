@@ -519,6 +519,19 @@ class ReferenceParityMoreSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(bytes, pdfBytes))
   }
 
+  // ---- anti_detection_test.go:14-50 — stealth-script + UA surface. The
+  //      test's observable behavior (inject lib.Script + AntiDetectionJS,
+  //      set RandomMacChromeUA) is browser-runtime config: the UA helper
+  //      has the same name/shape; stealth scripts ride the strict flag (S5).
+
+  test("anti-detection job: RandomMacChromeUA parity + stealth config carried") {
+    val ua = graft.engine.UserAgents.randomMacChromeUA(42L)
+    assert(ua.contains("Macintosh") && ua.contains("Chrome/"))
+    assert(graft.engine.UserAgents.randomMacChromeUA(42L) == ua) // deterministic
+    assert(!RabiConfig().strict)
+    assert(RabiConfig.loadFromEnv(Map("RABI_STRICT" -> "true")).strict)
+  }
+
   // ---- new-feature parity: Concurrency knob (config/config.go:17-18)
 
   test("politeness concurrency=2: wave scheduling, gap between waves only") {
