@@ -55,6 +55,7 @@ object Bench {
       one("dedup_exact", PipelineQueries.dedupExact(spark, sfDir)),
       one("dedup_minhash_lsh", PipelineQueries.dedupMinhashLsh(spark, sfDir)),
       one("ann_topk", PipelineQueries.annTopK(spark, sfDir)),
+      one("emb_near_dup", PipelineQueries.embNearDup(spark, sfDir)),
       one("lang_id", PipelineQueries.langId(spark, sfDir)),
       one("token_count", PipelineQueries.tokenCount(spark, sfDir)),
       one("q1_agg", PipelineQueries.q1Agg(spark, sfDir)),

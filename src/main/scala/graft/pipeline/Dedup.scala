@@ -175,8 +175,13 @@ object Dedup {
         h
       }
     }
+    // cache: both sides of the self-join read buckets — without it the
+    // signature pass runs twice (ReuseExchange does not fire across the
+    // aliased self-join sides). ~24 B/row × bands rows/doc, disk-backed at
+    // scale; candidates stay the only wide intermediate.
     val buckets = docs
       .select(col("doc_id"), posexplode(bandHashes(col("text"))).as(Seq("band", "sig")))
+      .cache()
     val cand = buckets.alias("x").join(buckets.alias("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))

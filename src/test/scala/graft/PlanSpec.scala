@@ -41,6 +41,37 @@ class PlanSpec extends AnyFunSuite {
       "query side must broadcast")
   }
 
+  test("ann_topk: codegen VecDot everywhere, norms computed pre-join not per pair") {
+    val plan = planOf(PipelineQueries.annTopK(spark, sf))
+    assert(plan.toLowerCase.contains("vecdot"), "cosine must use the native VecDot expression")
+    // norms appear as scan-side projections (q_norm/n_norm), so the
+    // per-pair expression is one dot + one division — no sqrt per pair
+    assert(plan.contains("q_norm") && plan.contains("n_norm"), plan.take(1500))
+    val pairProj = plan.split('\n').find(l => l.contains("AS cos")).getOrElse("")
+    assert(!pairProj.contains("SQRT"), s"no per-pair norm recomputation: $pairProj")
+  }
+
+  test("emb_near_dup: blocked pair join — vectors aggregate into block tiles first") {
+    val df = PipelineQueries.embNearDup(spark, sf)
+    val plan = planOf(df)
+    // the join operands are block rows (collect_list aggregates), never the
+    // raw n² vector pairs
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(joinIdx >= 0 && aggIdx >= 0 && joinIdx < aggIdx,
+      s"block aggregation must sit beneath the join:\n${plan.take(1500)}")
+    assert(plan.contains("collect_list"))
+  }
+
+  test("minhash lsh: banded buckets cached so the signature pass runs once") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.pipeline.Dedup.minhashLshPairs(docs)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).size >= 2,
+      s"both self-join sides must read the cached buckets:\n${plan.take(1500)}")
+  }
+
   test("fetch join: frontier batch broadcasts, corpus side never shuffles") {
     val s = spark
     import s.implicits._
