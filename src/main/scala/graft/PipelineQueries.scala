@@ -55,6 +55,20 @@ object PipelineQueries {
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.fingerprint(docs(spark, sfDir))
 
+  /** Boilerplate removal over the comment-family fixture pages: the
+    * text-density heuristic must pick the comment list and drop the
+    * pagination block — oracle reconstructs the exact innerText.
+    */
+  def htmlMainText(spark: SparkSession, sfDir: String): DataFrame = {
+    val cmtPages = graft.corpus.Fixtures.corpus(spark, sfDir)
+      .filter(col("url").rlike("/cmt/p[0-9]+\\.html$"))
+    MainContent.mainText(cmtPages)
+      .withColumn("doc_id", regexp_extract(col("url"), "/d([0-9]+)/", 1).cast("long"))
+      .withColumn("page_no", regexp_extract(col("url"), "/p([0-9]+)\\.html", 1).cast("long"))
+      .select("doc_id", "page_no", "main_text")
+      .orderBy("doc_id", "page_no")
+  }
+
   // ------------------------------------------------------------- multimodal
 
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =

@@ -44,6 +44,7 @@ object SparkEntry {
     "ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "ann_ivf" -> (PipelineQueries.annIvf(_, _)),
     "emb_near_dup" -> (PipelineQueries.embNearDup(_, _)),
+    "html_main_text" -> (PipelineQueries.htmlMainText(_, _)),
     "lang_id" -> (PipelineQueries.langId(_, _)),
     "quality_score" -> (PipelineQueries.qualityScore(_, _)),
     "token_count" -> (PipelineQueries.tokenCount(_, _)),
@@ -175,6 +176,14 @@ object SparkEntry {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45 ORDER BY 1,2""".stripMargin,
+    "html_main_text" ->
+      // rtrim: innerText collapses whitespace runs and drops spaces at
+      // block boundaries, so a 40-char snip ending in ' ' loses it
+      """SELECT d.doc_id, k AS page_no,
+        |  string_agg('cmt '||d.doc_id||' '||k||'-'||i||' '||rtrim(substr(d.text,1,40))||chr(10)||'2024-0'||k||'-1'||i,
+        |             chr(10) ORDER BY i) AS main_text
+        |FROM documents d, generate_series(1,3) s(k), generate_series(1,3) s2(i)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lang_id" ->
       """WITH p AS (SELECT doc_id, ' '||text||' ' AS t FROM documents),
         |s AS (SELECT doc_id,

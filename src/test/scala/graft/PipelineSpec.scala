@@ -84,6 +84,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 7 == 0))
   }
 
+  test("main-content extraction: text-density keeps content, drops nav/pager") {
+    val html =
+      ("""<html><body><div class="nav"><a href="/">home</a><a href="/x">archive</a></div>""" +
+        """<div id="story">Paragraph one of the article body with plenty of prose text. """ +
+        """<div>Nested paragraph with more real sentences inside the article.</div></div>""" +
+        """<div class="pager"><a href="p2">next</a><a href="p3">3</a></div></body></html>""").getBytes("UTF-8")
+    val out = graft.pipeline.MainContent.extractMainText(html)
+    assert(out.contains("Paragraph one") && out.contains("Nested paragraph"))
+    assert(!out.contains("next") && !out.contains("home"), s"boilerplate leaked: $out")
+  }
+
   test("cuckoo filter: inserts are found, absent keys mostly not") {
     val f = graft.engine.CuckooFilter.create(10000)
     val keys = (1L to 5000L).map(i => i * 0x9e3779b97f4a7c15L)
