@@ -27,6 +27,12 @@ object PipelineQueries {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, sfDir), maxHamming = 6)
 
+  /** Connected-component clusters over the (verified) near-dup pairs —
+    * survivor selection, the dedup pipeline's final stage.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDupClusters(Dedup.minhashLshPairs(docs(spark, sfDir), k = 3, threshold = 0.8))
+
   // ------------------------------------------------------------- similarity
 
   def annTopK(spark: SparkSession, sfDir: String): DataFrame =

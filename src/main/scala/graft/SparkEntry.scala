@@ -40,6 +40,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh(_, _)),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),
+    "dedup_clusters" -> (PipelineQueries.dedupClusters(_, _)),
     "ann_topk" -> (PipelineQueries.annTopK(_, _)),
     "ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "ann_ivf" -> (PipelineQueries.annIvf(_, _)),
@@ -164,6 +165,29 @@ object SparkEntry {
     // candidates are re-verified with exact Jaccard — same answer as the
     // exact operator.
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    // connected components over the same pair list via transitive closure
+    // (recursive CTE); cluster_id = min reachable doc_id, keep = survivor
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, substr(text, CAST(unnest(generate_series(1, length(text)-2)) AS INT), 3) AS shingle
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+        |  WHERE i >= 0.8*(sa.sz+sb.sz-i)),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY 1""".stripMargin,
     "ann_topk" ->
       """WITH scored AS (
         |  SELECT a.vec_id AS q, b.vec_id AS n_id,

@@ -221,6 +221,52 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Near-duplicate CLUSTERS from a pair list — the stage every dedup
+    * pipeline ends with: connected components over the similarity graph,
+    * one survivor (min doc_id) per component.
+    *
+    * Spark-native iterative min-label propagation (the simplified
+    * small-star/large-star of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every node starts labeled with itself; each
+    * round joins labels across edges and keeps the min; stops at fixpoint.
+    * Rounds ≤ graph diameter — near-dup components are tiny cliques (dup
+    * clusters), so 2-3 rounds even at 10^10 docs; each round is one
+    * hash-partitioned join + min-aggregate, no driver-side graph.
+    *
+    * Output: (doc_id, cluster_id, keep) for every doc in some pair, where
+    * cluster_id = min doc_id of the component and keep marks the survivor.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      rounds += 1
+      // candidate label per node: min of own and neighbors' labels
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("n_label").as("n_label"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.alias("n").join(labels.alias("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over word unigrams+bigrams (Charikar 2002; the Google
     * near-dup fingerprint). Computed in one pass per row by a deterministic
     * FNV-based scala function; candidate pairs via the 4-band pigeonhole

@@ -84,6 +84,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 7 == 0))
   }
 
+  test("near-dup clusters: label propagation finds components, min-id survivor") {
+    val s = spark
+    import s.implicits._
+    // two components: {1,2,3} via chain 1-2, 2-3; {10,11}; singleton pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = graft.pipeline.Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("main-content extraction: text-density keeps content, drops nav/pager") {
     val html =
       ("""<html><body><div class="nav"><a href="/">home</a><a href="/x">archive</a></div>""" +
