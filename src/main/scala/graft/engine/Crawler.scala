@@ -302,8 +302,13 @@ final class Crawler(
       // mark fetched urls seen (per-seed, matching per-Job independence of
       // the reference; SURVEY.md §2.5 set-ops row). Batches are disjoint
       // from prior seen (anti-joined at successor time) → plain union.
+      // no checkpoint here: `batch` is already checkpointed (it IS the
+      // frontier slice), so `seen` stays a shallow union tree over
+      // materialized nodes — planning cost O(rounds), and one fewer
+      // eager driver job per round (the per-round serial floor is the
+      // scaling limiter, BASELINE.md round 2)
       val newSeen = batch.select(col("seed_id"), col("url_hash"))
-      seen = seen.union(newSeen).localCheckpoint(true)
+      seen = seen.union(newSeen)
       seenEstimate += batchCount
 
       if (cuckooActive(seenEstimate)) {
