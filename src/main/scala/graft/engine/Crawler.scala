@@ -167,6 +167,15 @@ final class Crawler(
     // url hash, probe map-side, exact anti-join as authority) is identical.
     val cuckooShards = scala.collection.mutable.Map[Int, CuckooFilter]()
     var cuckooPrimed = false
+
+    // incremental broadcast bloom: rebuilding from the FULL seen set every
+    // round is O(total × rounds) at 10^10 urls. Instead the filter is
+    // primed once at 2× the current seen size, per-round deltas are built
+    // over just the batch (round-sized, parallel) and OR-merged in, and the
+    // filter re-primes from full seen only when outgrown — exponentially
+    // spaced, so full scans amortize to O(total) over the whole crawl.
+    var bloomFilter: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    var bloomCapacity = 0L
     def cuckooActive(se: Long): Boolean = se > config.cuckooThreshold
     def insertIntoCuckoo(df: DataFrame): Unit = {
       val nShards = config.hostBuckets
@@ -318,6 +327,17 @@ final class Crawler(
         cuckooPrimed = true
       }
 
+      if (seenEstimate > config.bloomThreshold) {
+        if (bloomFilter.isEmpty || seenEstimate > bloomCapacity) {
+          bloomCapacity = math.max(seenEstimate * 2, 1000L)
+          bloomFilter = Some(seen.stat.bloomFilter("url_hash", bloomCapacity, 0.01))
+        } else {
+          // same capacity+fpp → bit-compatible; OR-merge the round's delta
+          bloomFilter.foreach(
+            _.mergeInPlace(newSeen.stat.bloomFilter("url_hash", bloomCapacity, 0.01)))
+        }
+      }
+
       // successor generation: L2 (no paginator → next empty), L3 (condition
       // goon), L10 (limit abort), self-loop guard, robots, URL-seen anti-join
       val limitOk =
@@ -338,11 +358,7 @@ final class Crawler(
       // shuffle only if EVERY active sketch says "maybe seen". Neither
       // sketch can false-negative, so definitely-new rows skip the shuffle
       // with zero loss; the anti-join stays the authority on the residue.
-      val bloomOpt =
-        if (seenEstimate > config.bloomThreshold) {
-          val bloom = seen.stat.bloomFilter("url_hash", math.max(seenEstimate, 1000L), 0.01)
-          Some(spark.sparkContext.broadcast(bloom))
-        } else None
+      val bloomOpt = bloomFilter.map(spark.sparkContext.broadcast(_))
       val cuckooOpt =
         if (cuckooPrimed && cuckooShards.nonEmpty)
           Some(spark.sparkContext.broadcast(cuckooShards.toMap))
