@@ -41,6 +41,12 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
       frontier.write.mode(SaveMode.Overwrite).parquet(s"$base/frontier")
     }
     seen.write.mode(SaveMode.Overwrite).parquet(s"$base/seen")
+    // schemas ride the snapshot so a COMPLETED crawl's empty frontier (zero
+    // parquet row groups → no inferable schema) still resumes cleanly
+    Files.write(Paths.get(s"$base/frontier.schema.json"),
+      frontier.schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(s"$base/seen.schema.json"),
+      seen.schema.json.getBytes(StandardCharsets.UTF_8))
     val filesList = listParquet(s"$base/frontier") ++ listParquet(s"$base/seen")
     val json = manifestJson(round, filesList, metrics, partitionMetrics)
     val tmp = Paths.get(s"$dir/manifest-$round.json.tmp")
@@ -60,9 +66,17 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
       val json = new String(Files.readAllBytes(latest), StandardCharsets.UTF_8)
       val round = """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
       round.map { r =>
-        Snapshot(r,
-          spark.read.parquet(s"$dir/data/round=$r/frontier"),
-          spark.read.parquet(s"$dir/data/round=$r/seen"))
+        def readWithSchema(part: String) = {
+          val sp = Paths.get(s"$dir/data/round=$r/$part.schema.json")
+          val reader =
+            if (Files.exists(sp))
+              spark.read.schema(org.apache.spark.sql.types.DataType
+                .fromJson(new String(Files.readAllBytes(sp), StandardCharsets.UTF_8))
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+            else spark.read
+          reader.parquet(s"$dir/data/round=$r/$part")
+        }
+        Snapshot(r, readWithSchema("frontier"), readWithSchema("seen"))
       }
     }
   }
