@@ -12,8 +12,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  def mkSession(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
+  def mkSession(cpus: String): SparkSession = {
+    val builder = SparkSession.builder()
+    // under spark-submit the master (e.g. local-cluster[4,1,8192] — real
+    // multi-JVM executors, the closest one-box analogue of N executors)
+    // comes from the command line; default to local[cpus] only when none
+    // was given
+    if (!sys.props.contains("spark.master")) builder.master(s"local[$cpus]")
+    builder
     .appName("graft-bench")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
@@ -21,6 +27,7 @@ object Bench {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  }
 
   def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

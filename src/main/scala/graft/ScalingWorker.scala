@@ -89,7 +89,10 @@ object ScalingBenchForked {
       (pages, sec)
     }
 
-    val schedule = Seq(n, 4 * n, n, 4 * n)
+    // SPARK_GRAFT_PASSES=1 → single [N, 4N] pass (each config already
+    // best-of-2 inside its own fork); default 2 interleaved passes
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val schedule = Seq.fill(passes)(Seq(n, 4 * n)).flatten
     val results = schedule.map { c =>
       val r = runOnce(c)
       println(f"  fork local[$c%d]: ${r._1}%d pages in ${r._2}%.2f s (${r._1 / r._2}%.0f pages/s)")

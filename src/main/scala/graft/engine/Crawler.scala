@@ -69,7 +69,18 @@ final class Crawler(
         val link = if (job.startPageUrl.nonEmpty) job.startPageUrl else job.link
         Seq(("seed-0", link))
       }
-    effective.toDF("seed_id", "url")
+    // big seed lists (10^6-seed rounds): toDF on a local Seq converts every
+    // row to Catalyst format ON THE DRIVER (serial, and it rides the plan) —
+    // parallelize instead so conversion and the downstream enrich UDFs
+    // (canonicalize + hash per url) run in tasks. Small lists keep the
+    // LocalRelation (broadcast-friendly, no scheduling overhead).
+    val base =
+      if (effective.size >= 10000)
+        spark.sparkContext
+          .parallelize(effective, spark.sparkContext.defaultParallelism)
+          .toDF("seed_id", "url")
+      else effective.toDF("seed_id", "url")
+    base
       .withColumn("page_no", lit(1))
       .withColumn("cursor", lit(0))
   }
