@@ -251,6 +251,34 @@ object CrawlQueries {
       .distinct().orderBy("doc_id", "url")
   }
 
+  /** Structured Streaming twin of the list extraction: the fixture corpus
+    * staged as a parquet directory is consumed as a file-source stream
+    * (micro-batches of 4 files — the continuous-ingest shape, each batch a
+    * "WARC drop landing in the lake") and flows through the SAME
+    * `CrawlExtractExpression` the batch crawl uses. The oracle is
+    * `crawl_list`'s — streaming extraction must reproduce the batch rows
+    * byte-identically.
+    */
+  def streamExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.{EventStreams, PageStreams}
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
+    Fixtures.corpus(spark, sfDir).filter(col("url").contains("/list/"))
+      .write.mode("overwrite").parquet(dir)
+    val items = PageStreams
+      .extractedItems(PageStreams.readPages(spark, dir, maxFilesPerTrigger = 4), listJob)
+      .filter(col("item").isNotNull)
+    val table = "stream_extract_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStreams.runToMemory(spark, items, table,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .select(
+        expr("cast(regexp_extract(url, '/d(\\\\d+)/', 1) as long)").as("doc_id"),
+        expr("cast(regexp_extract(url, '/p(\\\\d+)\\\\.html', 1) as long)").as("page_no"),
+        col("pos").cast("long").as("pos"),
+        col("item.title").as("title"), col("item.link").as("link"),
+        col("item.date_s").as("date_s"), col("item.snip").as("snip"))
+      .orderBy("doc_id", "page_no", "pos")
+  }
+
   /** Politeness pacing contract: with Delay fixed at 100ms, request k of a
     * host in a round starts at k*100ms (`svcimpl.go:666-675` made
     * deterministic).

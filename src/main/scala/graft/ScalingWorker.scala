@@ -24,17 +24,28 @@ object ScalingWorker {
     val shj = sys.env.get("SPARK_GRAFT_JOIN").contains("shj")
     val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text", "lang").as[graft.corpus.Fixtures.Doc].collect()
-    val docs = (0 until mult).flatMap(m =>
-      baseDocs.map(d => d.copy(doc_id = d.doc_id + m * 1000000L)))
-    val corpus0 = spark.createDataset(docs).repartition(cores * 2)
-      .flatMap { d: graft.corpus.Fixtures.Doc =>
-        val pages = graft.corpus.Fixtures.pagesForDoc(d)
-        if (listOnly) pages.filter(_.url.contains("/list/")) else pages
+    // multiply the corpus ON EXECUTORS: broadcast the base docs once
+    // (~10 MB) and parallelize only the multiplier indices — under
+    // local-cluster (real separate executor JVMs) a driver-built
+    // LocalRelation of mult*5000 full-text docs would ship hundreds of MB
+    // through task serialization instead
+    val bcDocs = spark.sparkContext.broadcast(baseDocs)
+    val corpus0 = spark.sparkContext
+      .parallelize(0 until mult, math.max(cores * 2, math.min(mult, 64)))
+      .flatMap { m =>
+        bcDocs.value.iterator.flatMap { d0 =>
+          val d = d0.copy(doc_id = d0.doc_id + m * 1000000L)
+          val pages = graft.corpus.Fixtures.pagesForDoc(d)
+          if (listOnly) pages.filter(_.url.contains("/list/")) else pages
+        }
       }.toDF()
     import org.apache.spark.sql.functions.col
     val corpus = if (shj) corpus0.repartition(cores, col("url")) else corpus0
     corpus.cache(); corpus.count()
-    val seeds = docs.map(d => (s"d${d.doc_id}", s"${graft.corpus.Fixtures.base(d.doc_id)}/list/p1.html"))
+    val seeds = (0 until mult).flatMap(m => baseDocs.map { d0 =>
+      val id = d0.doc_id + m * 1000000L
+      (s"d$id", s"${graft.corpus.Fixtures.base(id)}/list/p1.html")
+    })
     val crawler = new graft.engine.Crawler(spark, corpus,
       graft.engine.Crawler.Config(broadcastFrontier = !shj))
     crawler.crawl(CrawlQueries.listJob, seeds.take(50)).count() // warmup

@@ -35,6 +35,7 @@ object SparkEntry {
     "politeness_schedule" -> (CrawlQueries.politenessSchedule(_, _)),
     "politeness_concurrency" -> (CrawlQueries.politenessConcurrency(_, _)),
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
+    "stream_extract" -> (CrawlQueries.streamExtract(_, _)),
     // --- training-data pipeline ops ---
     "dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard(_, _)),
@@ -60,14 +61,9 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "crawl_list" ->
-      """SELECT d.doc_id, k AS page_no, i-1 AS pos,
-        |  'Doc '||d.doc_id||' item '||k||'-'||i AS title,
-        |  'http://h'||(d.doc_id%50)||'.test/d'||d.doc_id||'/list/art_'||d.doc_id||'_'||k||'_'||i||'.html' AS link,
-        |  '2024-0'||k||'-0'||i AS date_s,
-        |  substr(d.text,1,40) AS snip
-        |FROM documents d, generate_series(1,3) s(k), generate_series(1,4) s2(i)
-        |ORDER BY 1,2,3""".stripMargin,
+    "crawl_list" -> crawlListOracle,
+    // streaming ingest must reproduce the batch extraction byte-identically
+    "stream_extract" -> crawlListOracle,
     "crawl_xpath" ->
       """SELECT d.doc_id, k AS page_no, i-1 AS pos,
         |  'cmt '||d.doc_id||' '||k||'-'||i||' '||substr(d.text,1,40) AS content,
@@ -292,6 +288,15 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
+
+  private val crawlListOracle: String =
+    """SELECT d.doc_id, k AS page_no, i-1 AS pos,
+      |  'Doc '||d.doc_id||' item '||k||'-'||i AS title,
+      |  'http://h'||(d.doc_id%50)||'.test/d'||d.doc_id||'/list/art_'||d.doc_id||'_'||k||'_'||i||'.html' AS link,
+      |  '2024-0'||k||'-0'||i AS date_s,
+      |  substr(d.text,1,40) AS snip
+      |FROM documents d, generate_series(1,3) s(k), generate_series(1,4) s2(i)
+      |ORDER BY 1,2,3""".stripMargin
 
   private val ngramJaccardOracle: String =
     """WITH sh AS (
