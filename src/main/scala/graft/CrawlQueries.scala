@@ -279,6 +279,22 @@ object CrawlQueries {
       .orderBy("doc_id", "page_no", "pos")
   }
 
+  /** Streaming twin of `crawl_metrics`: per-host page counts as a stateful
+    * streaming aggregation (Complete mode) over the same corpus stream —
+    * the lineage/metrics surface of a continuously-ingesting crawl.
+    */
+  def streamMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.{EventStreams, PageStreams}
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
+    Fixtures.corpus(spark, sfDir).filter(col("url").contains("/list/"))
+      .write.mode("overwrite").parquet(dir)
+    val counts = PageStreams.readPages(spark, dir, maxFilesPerTrigger = 4)
+      .groupBy(expr("parse_url(url, 'HOST')").as("host"))
+      .agg(count(lit(1)).as("pages"))
+    val table = "stream_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStreams.runToMemory(spark, counts, table).orderBy("host")
+  }
+
   /** Politeness pacing contract: with Delay fixed at 100ms, request k of a
     * host in a round starts at k*100ms (`svcimpl.go:666-675` made
     * deterministic).

@@ -36,6 +36,7 @@ object SparkEntry {
     "politeness_concurrency" -> (CrawlQueries.politenessConcurrency(_, _)),
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
     "stream_extract" -> (CrawlQueries.streamExtract(_, _)),
+    "stream_metrics" -> (CrawlQueries.streamMetrics(_, _)),
     // --- training-data pipeline ops ---
     "dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard(_, _)),
@@ -151,9 +152,9 @@ object SparkEntry {
         |  '2025-0'||k||'-0'||i AS date_s
         |FROM documents d, generate_series(1,2) s(k), generate_series(1,3) s2(i)
         |ORDER BY 1,2,3""".stripMargin,
-    "crawl_metrics" ->
-      """SELECT 'h'||(doc_id%50)||'.test' AS host, count(*)*3 AS pages
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "crawl_metrics" -> crawlMetricsOracle,
+    // streaming stateful agg over the same pages must land on the same counts
+    "stream_metrics" -> crawlMetricsOracle,
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY text ORDER BY 1",
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
@@ -288,6 +289,10 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
+
+  private val crawlMetricsOracle: String =
+    """SELECT 'h'||(doc_id%50)||'.test' AS host, count(*)*3 AS pages
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val crawlListOracle: String =
     """SELECT d.doc_id, k AS page_no, i-1 AS pos,

@@ -27,7 +27,7 @@ run_one() { # $1 = executor count
     --conf spark.driver.memory=8g \
     --conf spark.ui.enabled=false \
     --conf spark.sql.session.timeZone=UTC \
-    --conf "spark.executor.extraJavaOptions=-XX:+UseParallelGC" \
+    --conf "spark.executor.extraJavaOptions=-XX:+UseParallelGC -XX:ParallelGCThreads=2 -XX:CICompilerCount=2" \
     --class graft.ScalingWorker \
     "$JAR" "$cores" "$SF_DIR" "$MULT" 2>/dev/null \
     | grep SCALING_RESULT
