@@ -129,4 +129,21 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("total_cents"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_cents"))
       .orderBy("win_start", "event_type")
+
+  /** Structured Streaming twin of `qEventsWindow`: the same watermarked
+    * tumbling rollup consumed from a file stream — must land on the same
+    * rows as the batch oracle.
+    */
+  def streamEventsWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    // the testdata table is a single parquet file; the file-stream source
+    // wants a directory of arriving files — stage it as 4 (4 micro-batches)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events").toString
+    spark.read.parquet(s"$sfDir/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEvents(spark, dir)
+    val table = "stream_events_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStreams.runToMemory(spark, EventStreams.windowedRollup(stream), table)
+      .orderBy("win_start", "event_type")
+  }
 }

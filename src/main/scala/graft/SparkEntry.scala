@@ -58,7 +58,8 @@ object SparkEntry {
     "q1_agg" -> (PipelineQueries.q1Agg(_, _)),
     "q_join_broadcast" -> (PipelineQueries.qJoinBroadcast(_, _)),
     "q_window_topk" -> (PipelineQueries.qWindowTopK(_, _)),
-    "q_events_window" -> (PipelineQueries.qEventsWindow(_, _))
+    "q_events_window" -> (PipelineQueries.qEventsWindow(_, _)),
+    "stream_events_window" -> (PipelineQueries.streamEventsWindow(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -284,11 +285,15 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
         |FROM orders QUALIFY rk <= 3 ORDER BY 1,3""".stripMargin,
-    "q_events_window" ->
-      """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    "q_events_window" -> eventsWindowOracle,
+    // streaming watermarked rollup must land on the batch answer
+    "stream_events_window" -> eventsWindowOracle
   )
+
+  private val eventsWindowOracle: String =
+    """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
   private val crawlMetricsOracle: String =
     """SELECT 'h'||(doc_id%50)||'.test' AS host, count(*)*3 AS pages
