@@ -285,10 +285,78 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
         |FROM orders QUALIFY rk <= 3 ORDER BY 1,3""".stripMargin,
+    "doc_fingerprint" -> docFingerprintOracle,
+    "dedup_simhash" -> simhashOracle,
     "q_events_window" -> eventsWindowOracle,
     // streaming watermarked rollup must land on the batch answer
     "stream_events_window" -> eventsWindowOracle
   )
+
+  // doc_fingerprint: both hashes reconstructed bit-exactly in SQL —
+  // polynomial (h*257+c) mod 2^31-1 via list_reduce, and the FNV-1a
+  // 8-char winnowing min via HUGEINT mod-2^64 arithmetic with the final
+  // value reinterpreted as a signed 64-bit long (Scala's Long compare).
+  private val docFingerprintOracle: String =
+    """WITH wins AS (
+      |  SELECT doc_id, substr(text, CAST(unnest(generate_series(1, length(text)-7)) AS INT), 8) AS win
+      |  FROM documents WHERE length(text) >= 8),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(split(win,''), x -> ord(x)::HUGEINT)),
+      |      (acc, c) -> (xor(acc::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616::HUGEINT) AS h
+      |  FROM wins),
+      |signed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS hs
+      |  FROM hashes),
+      |agg AS (SELECT doc_id, min(hs) AS win_min FROM signed GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(split(d.text,''), x -> ord(x)::BIGINT)),
+      |              (acc, c) -> (acc*257 + c) % 2147483647) AS doc_hash,
+      |  CAST(coalesce(a.win_min, 0) AS BIGINT) AS win_min
+      |FROM documents d LEFT JOIN agg a ON d.doc_id=a.doc_id ORDER BY d.doc_id""".stripMargin
+
+  // dedup_simhash reconstructed bit-exactly: FNV-1a unigram+bigram feature
+  // hashes (HUGEINT mod-2^64), 64 bit-votes, sign → signature, 16-bit band
+  // self-join, popcount(xor) Hamming filter — the full sketch, not a
+  // rows-only check.
+  private val simhashOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, split(text, ' ') AS l FROM documents),
+      |idx AS (
+      |  SELECT doc_id, l, CAST(unnest(generate_series(1, len(l))) AS INT) AS i FROM words),
+      |feats AS (
+      |  SELECT doc_id, l[i] AS feat FROM idx WHERE l[i] <> ''
+      |  UNION ALL
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS feat FROM idx
+      |  WHERE l[i] <> '' AND i+1 <= len(l) AND l[i+1] <> ''),
+      |fh AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(split(feat,''), x -> ord(x)::HUGEINT)),
+      |      (acc, c) -> (xor(acc::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616::HUGEINT) AS h
+      |  FROM feats),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (h::UBIGINT >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM fh, (SELECT CAST(unnest(generate_series(0,63)) AS INT) AS b) bits
+      |  GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s
+      |  FROM votes GROUP BY doc_id),
+      |sigu AS (SELECT doc_id, s::UBIGINT AS su FROM sig),
+      |banded AS (
+      |  SELECT doc_id, su, b, (su >> (b*16)) & 65535 AS bits
+      |  FROM sigu, (SELECT CAST(unnest(generate_series(0,3)) AS INT) AS b) bands)
+      |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+      |  bit_count(xor(x.su, y.su)) AS hamming
+      |FROM banded x JOIN banded y ON x.b=y.b AND x.bits=y.bits AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.su, y.su)) <= 6
+      |ORDER BY 1,2""".stripMargin
 
   private val eventsWindowOracle: String =
     """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
