@@ -151,6 +151,17 @@ final class Crawler(
         df.filter(allowed(col("url")))
     }
 
+    // robots Crawl-delay → per-host politeness gap floor. A broadcast map
+    // literal is right at corpus scale (one entry per host that declares a
+    // delay); at 10^10 urls this becomes a join against a host-dimension
+    // table — same column contract.
+    val robotsDelayCol: Option[org.apache.spark.sql.Column] = robotsBc.flatMap { bc =>
+      val hostDelays = bc.value.collect { case (h, r) if r.crawlDelayMs.exists(_ > 0) => h -> r.crawlDelayMs.get }
+      if (hostDelays.isEmpty) None
+      else Some(element_at(typedLit(hostDelays), col("host")))
+    }
+    val politenessActive = config.politeness.enabled || robotsDelayCol.isDefined
+
     var frontier: DataFrame = resumed match {
       case Some(s) => s.frontier
       case None    => enrich(robotsFilter(applyStartPageBtn(job, seeds0)), lit(0)).localCheckpoint(true)
@@ -256,16 +267,16 @@ final class Crawler(
       // its parsing in one task — repartition by url hash so parse work
       // spreads evenly (SURVEY.md §7 hard part 5: salting the skew out of
       // the post-schedule stage; schedule columns are already computed)
-      val paced0 = Politeness.schedule(fetched, config.politeness)
+      val paced0 = Politeness.schedule(fetched, config.politeness, robotsDelayCol)
       val paced1 =
-        if (config.politeness.enabled) paced0.repartition(col("url_hash"))
+        if (politenessActive) paced0.repartition(col("url_hash"))
         else paced0
       // realPace: honor the schedule in wall-clock (a live fetcher's
       // behavior); off by default — the sandbox corpus join needs no delay
       // emitted_ms carries the wall-clock emission offset (and keeps the
       // pacing udf alive through column pruning); 0 when pacing is virtual
       val paced =
-        if (config.realPace && config.politeness.enabled)
+        if (config.realPace && politenessActive)
           Politeness.pace(paced1, System.currentTimeMillis())
         else paced1.withColumn("emitted_ms", lit(0L))
 
@@ -465,7 +476,7 @@ final class Crawler(
         case s: String      => s
         case _              => ""
       }
-      Urls.host(url) -> Robots.parse(body)
+      Urls.host(url) -> Robots.parseFor(body, config.robotsUserAgent)
     }.toMap
     spark.sparkContext.broadcast(map)
   }
@@ -508,6 +519,9 @@ object Crawler {
       // where the frontier never fits one round.
       batchLimit: Option[Long] = None,
       respectRobots: Boolean = false,
+      // product token for robots.txt group selection (RFC 9309 §2.2.1);
+      // "*" = generic rules only, matching the rotating per-url UA pool
+      robotsUserAgent: String = "*",
       // sleep tasks to the politeness schedule in wall-clock time (live
       // fetcher behavior); tests/bench leave the schedule virtual
       realPace: Boolean = false,

@@ -87,18 +87,29 @@ object Politeness {
     * reduces exactly to the previous per-request cumulative formula. All
     * windows share the host partitioning — one shuffle, reused exchanges.
     */
-  def schedule(df: DataFrame, conf: Config): DataFrame = {
-    if (!conf.enabled) return df.withColumn("scheduled_ms", lit(0L)).withColumn("fetch_seq", lit(0L))
+  /** `robotsDelayMs`: optional per-row gap floor from the host's
+    * robots.txt `Crawl-delay` (null where the host declares none) — the
+    * effective wave gap is `greatest(configured jitter, crawl-delay)`, and
+    * a crawl-delay alone activates scheduling even when the engine's own
+    * delay knobs are 0.
+    */
+  def schedule(df: DataFrame, conf: Config, robotsDelayMs: Option[Column] = None): DataFrame = {
+    if (!conf.enabled && robotsDelayMs.isEmpty)
+      return df.withColumn("scheduled_ms", lit(0L)).withColumn("fetch_seq", lit(0L))
     val w = Window.partitionBy(col("host")).orderBy(col("url"))
     val upTo = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val seq = row_number().over(w).cast("long") - 1
     val c = math.max(1, conf.concurrency).toLong
+    val waveGap = robotsDelayMs match {
+      case Some(rd) => greatest(gapMs(conf, col("url_hash")), coalesce(rd, lit(0L)))
+      case None     => gapMs(conf, col("url_hash"))
+    }
     // wave-leader gap: null on followers so `last(..., ignoreNulls)` picks
     // the row's OWN wave leader (waves are contiguous in the host order);
     // projected first so the windowed sums don't nest window functions
     val withSeq = df.withColumn("fetch_seq", seq)
       .withColumn("__leader_gap",
-        when(pmod(col("fetch_seq"), lit(c)) === 0, gapMs(conf, col("url_hash")))
+        when(pmod(col("fetch_seq"), lit(c)) === 0, waveGap)
           .otherwise(lit(null).cast("long")))
       .withColumn("delay_cum_ms",
         sum(coalesce(col("__leader_gap"), lit(0L))).over(upTo) -

@@ -4,34 +4,116 @@ package graft.engine
   * (BASELINE.json north_star; the reference crawls without robots checks).
   *
   * Rules are parsed from corpus rows whose url is `scheme://host/robots.txt`
-  * (FIXTURES.md `robots` family). Longest-prefix-match wins between Allow
-  * and Disallow (Google's documented semantics, simplified: no wildcards,
-  * `$` ignored); empty Disallow value allows everything; only the
-  * `User-agent: *` group applies.
+  * (FIXTURES.md `robots` family) with RFC 9309 semantics as Google's
+  * documented implementation refines them:
+  *
+  *   - group selection: groups are matched against the crawler's product
+  *     token case-insensitively; the longest group token that equals or
+  *     prefixes the product token wins, and all groups carrying that token
+  *     merge. `*` groups apply only when no named group matches.
+  *   - rule matching: `*` matches any character run, a trailing `$`
+  *     anchors the pattern to the end of the path; the longest matching
+  *     pattern wins between Allow and Disallow, Allow winning ties; empty
+  *     rule values are ignored (empty Disallow = allow everything).
+  *   - `Crawl-delay` (de-facto extension, honored by Bing/Yandex): carried
+  *     per group in milliseconds and fed into the politeness scheduler as
+  *     a per-host gap floor (`Politeness.schedule`'s robots column).
   */
 object Robots {
 
-  final case class Rules(allows: Vector[String], disallows: Vector[String]) extends Serializable {
+  final case class Rules(allows: Vector[String], disallows: Vector[String],
+                         crawlDelayMs: Option[Long] = None) extends Serializable {
     def isAllowed(path: String): Boolean = {
       val p = if (path.isEmpty) "/" else path
-      val bestAllow = allows.filter(p.startsWith).map(_.length).maxOption.getOrElse(-1)
-      val bestDisallow = disallows.filter(p.startsWith).map(_.length).maxOption.getOrElse(-1)
+      val bestAllow = allows.iterator.filter(matches(_, p)).map(_.length).maxOption.getOrElse(-1)
+      val bestDisallow = disallows.iterator.filter(matches(_, p)).map(_.length).maxOption.getOrElse(-1)
       bestAllow >= bestDisallow || bestDisallow < 0
     }
   }
 
   val allowAll: Rules = Rules(Vector.empty, Vector.empty)
 
-  /** Parse a robots.txt body: collect Allow/Disallow lines of every
-    * `User-agent: *` group.
+  /** RFC 9309 §2.2.3 rule match: the pattern must match a prefix of `path`;
+    * `*` matches any (possibly empty) character run and a trailing `$`
+    * anchors the end. Greedy left-to-right segment search — linear in the
+    * path, no regex compilation in the per-url hot path.
     */
-  def parse(body: String): Rules = {
-    // consecutive User-agent lines open a group header; the group's rules
-    // apply iff one of those lines was `*`
+  private[engine] def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.dropRight(1) else pattern
+    if (!p.contains('*')) {
+      if (anchored) path == p else path.startsWith(p)
+    } else {
+      val parts = p.split("\\*", -1)
+      if (!path.startsWith(parts(0))) return false
+      var pos = parts(0).length
+      // the last segment of an anchored pattern must sit at the END of the
+      // path, so it is excluded from the floating greedy scan
+      val floatingEnd = if (anchored) parts.length - 1 else parts.length
+      var i = 1
+      while (i < floatingEnd) {
+        val idx = path.indexOf(parts(i), pos)
+        if (idx < 0) return false
+        pos = idx + parts(i).length
+        i += 1
+      }
+      if (!anchored) true
+      else {
+        val last = parts(parts.length - 1)
+        path.length - last.length >= pos && path.endsWith(last)
+      }
+    }
+  }
+
+  private final case class Group(uas: Vector[String], allows: Vector[String],
+                                 disallows: Vector[String], crawlDelayMs: Option[Long])
+
+  /** Parse for the generic `*` group — the engine default: the crawl's UA
+    * pool rotates per url (S6), so only generic rules apply globally.
+    */
+  def parse(body: String): Rules = parseFor(body, "*")
+
+  /** Parse the rule group that applies to `productToken` (RFC 9309
+    * §2.2.1): longest case-insensitive equal-or-prefix group token wins,
+    * same-token groups merge, `*` groups are the fallback.
+    */
+  def parseFor(body: String, productToken: String): Rules = {
+    val groups = parseGroups(body)
+    val pt = productToken.toLowerCase
+    val named =
+      if (pt == "*") Vector.empty
+      else groups.flatMap { g =>
+        g.uas.collect { case ua if ua != "*" && pt.startsWith(ua.toLowerCase) => (ua.length, g) }
+      }
+    val winners =
+      if (named.nonEmpty) {
+        val best = named.map(_._1).max
+        named.collect { case (len, g) if len == best => g }.distinct
+      } else groups.filter(_.uas.contains("*"))
+    if (winners.isEmpty) allowAll
+    else {
+      val delays = winners.flatMap(_.crawlDelayMs)
+      Rules(
+        winners.flatMap(_.allows).toVector,
+        winners.flatMap(_.disallows).toVector,
+        // most conservative wins if same-token groups disagree
+        if (delays.isEmpty) None else Some(delays.max))
+    }
+  }
+
+  private def parseGroups(body: String): Vector[Group] = {
+    val out = Vector.newBuilder[Group]
+    var uas = Vector.newBuilder[String]
+    var allows = Vector.newBuilder[String]
+    var disallows = Vector.newBuilder[String]
+    var delay: Option[Long] = None
     var inHeader = false
-    var starActive = false
-    val allows = Vector.newBuilder[String]
-    val disallows = Vector.newBuilder[String]
+    var open = false
+    def flush(): Unit = {
+      if (open) out += Group(uas.result(), allows.result(), disallows.result(), delay)
+      uas = Vector.newBuilder[String]; allows = Vector.newBuilder[String]
+      disallows = Vector.newBuilder[String]; delay = None; open = false
+    }
     body.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val idx = line.indexOf(':')
@@ -40,19 +122,25 @@ object Robots {
         val value = line.substring(idx + 1).trim
         key match {
           case "user-agent" =>
-            if (!inHeader) { starActive = false; inHeader = true }
-            if (value == "*") starActive = true
+            // consecutive User-agent lines share one group header
+            if (!inHeader) { flush(); inHeader = true; open = true }
+            uas += value
           case "allow" =>
             inHeader = false
-            if (starActive && value.nonEmpty) allows += value
+            if (open && value.nonEmpty) allows += value
           case "disallow" =>
             inHeader = false
-            if (starActive && value.nonEmpty) disallows += value
-          case _ => ()
+            if (open && value.nonEmpty) disallows += value
+          case "crawl-delay" =>
+            inHeader = false
+            if (open) delay = value.toDoubleOption.map(d => math.max(0L, (d * 1000).toLong))
+          case _ =>
+            inHeader = false
         }
       }
     }
-    Rules(allows.result(), disallows.result())
+    flush()
+    out.result()
   }
 
   def pathOf(url: String): String =

@@ -32,6 +32,32 @@ class EngineSurfaceSpec extends AnyFunSuite {
   def seeds: Seq[(String, String)] =
     docs.map(d => (s"d${d.doc_id}", s"${Fixtures.base(d.doc_id)}/list/p1.html"))
 
+  test("robots crawl-delay paces the crawl end-to-end (per-host gap floor)") {
+    val s = spark
+    import s.implicits._
+    // same fixture corpus, but each host's robots.txt declares Crawl-delay
+    val corpusD = docs.flatMap(Fixtures.pagesForDoc).map { p =>
+      if (p.url.endsWith("/robots.txt"))
+        p.copy(html = "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 1\n".getBytes("UTF-8"))
+      else p
+    }.toDF()
+    val out = new Crawler(spark, corpusD, Crawler.Config(respectRobots = true))
+      .crawl(CrawlQueries.listJob, seeds)
+      .select(col("url"), col("host"), col("page_no"), col("scheduled_ms"))
+      .collect()
+    // fixture robots.txt exists for hosts of docs < 50 (h0 via d0, h7 via
+    // d7); h0 serves TWO seeds (d0, d50) → second same-round request waits
+    // 1000 ms; h1 (d51) has no robots.txt → no delay
+    for (pageNo <- 1 to 3) {
+      val round = out.filter(_.getInt(2) == pageNo)
+      def sched(h: String) = round.filter(_.getString(1) == h)
+        .map(r => (r.getString(0), r.getLong(3))).distinct.map(_._2).sorted.toSeq
+      assert(sched("h0.test") == Seq(0L, 1000L), s"h0 round $pageNo")
+      assert(sched("h7.test") == Seq(0L), s"h7 round $pageNo")
+      assert(sched("h1.test") == Seq(0L), s"h1 round $pageNo")
+    }
+  }
+
   test("batch-limited priority frontier crawls everything over more rounds") {
     val full = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
       .filter(col("item").isNotNull)

@@ -134,4 +134,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.isAllowed("/private/ok/x"))
     assert(r.isAllowed("/g/only-for-googlebot"))
   }
+
+  test("robots REP patterns: * wildcard and $ anchor, longest-match wins") {
+    import graft.engine.Robots
+    val r = Robots.parse(
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /search*q=
+        |Allow: /search*q=safe
+        |Disallow: /exact$
+        |""".stripMargin)
+    assert(!r.isAllowed("/docs/paper.pdf"))
+    assert(r.isAllowed("/docs/paper.pdfx"))      // $ anchors the end
+    assert(r.isAllowed("/docs/paper.pdf.html"))
+    assert(!r.isAllowed("/search/one?q=stuff"))  // * spans segments
+    assert(r.isAllowed("/search/one?q=safe"))    // longer Allow wins
+    assert(!r.isAllowed("/exact"))
+    assert(r.isAllowed("/exactly"))              // anchored ≠ prefix
+  }
+
+  test("robots group selection: most specific UA token wins, * is fallback") {
+    import graft.engine.Robots
+    val body =
+      """User-agent: graftbot-images
+        |Disallow: /imgonly/
+        |Crawl-delay: 4
+        |
+        |User-agent: graftbot
+        |Disallow: /bots/
+        |Crawl-delay: 2.5
+        |
+        |User-agent: *
+        |Disallow: /all/
+        |""".stripMargin
+    val img = Robots.parseFor(body, "graftbot-images")
+    assert(!img.isAllowed("/imgonly/x") && img.isAllowed("/bots/x") && img.isAllowed("/all/x"))
+    assert(img.crawlDelayMs.contains(4000L))
+    val plain = Robots.parseFor(body, "graftbot")
+    assert(!plain.isAllowed("/bots/x") && plain.isAllowed("/imgonly/x"))
+    assert(plain.crawlDelayMs.contains(2500L))
+    val other = Robots.parseFor(body, "otherbot")
+    assert(!other.isAllowed("/all/x") && other.isAllowed("/bots/x"))
+    assert(other.crawlDelayMs.isEmpty)
+  }
+
+  test("robots crawl-delay paces the schedule as a per-host gap floor") {
+    import graft.engine.Politeness
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("h0.test", "http://h0.test/a", 1L),
+      ("h0.test", "http://h0.test/b", 2L),
+      ("h0.test", "http://h0.test/c", 3L),
+      ("h1.test", "http://h1.test/a", 4L))
+      .toDF("host", "url", "url_hash")
+    val delays = org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.typedLit(Map("h0.test" -> 2000L)),
+      col("host"))
+    // engine delay knobs OFF: the crawl-delay alone must activate pacing
+    val out = Politeness.schedule(df, Politeness.Config(), Some(delays))
+      .select("url", "scheduled_ms").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("http://h0.test/a") == 0L)
+    assert(out("http://h0.test/b") == 2000L)
+    assert(out("http://h0.test/c") == 4000L)
+    assert(out("http://h1.test/a") == 0L)  // no delay declared for h1
+    // configured delay above the crawl-delay wins (greatest of the two)
+    val out2 = Politeness.schedule(df,
+      Politeness.Config(delayMinMs = 3000, delayMaxMs = 3000), Some(delays))
+      .select("url", "scheduled_ms").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2("http://h0.test/c") == 6000L)
+    assert(out2("http://h1.test/a") == 0L)
+  }
 }
