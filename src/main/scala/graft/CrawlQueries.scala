@@ -251,6 +251,17 @@ object CrawlQueries {
       .distinct().orderBy("doc_id", "url")
   }
 
+  /** Sitemap seed discovery (engine.Sitemaps): every `<url>` entry of each
+    * site's sitemap.xml, extracted through the standard Catalyst expression
+    * and absolutized — the frontier-seeding surface of the crawl.
+    */
+  def sitemapDiscover(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Sitemaps.discover(Fixtures.corpus(spark, sfDir))
+      .select(
+        expr("cast(regexp_extract(sitemap_url, '/d(\\\\d+)/', 1) as long)").as("doc_id"),
+        col("pos").cast("long").as("pos"), col("url"), col("lastmod"))
+      .orderBy("doc_id", "pos")
+
   /** Structured Streaming twin of the list extraction: the fixture corpus
     * staged as a parquet directory is consumed as a file-source stream
     * (micro-batches of 4 files — the continuous-ingest shape, each batch a

@@ -35,6 +35,7 @@ object SparkEntry {
     "politeness_schedule" -> (CrawlQueries.politenessSchedule(_, _)),
     "politeness_concurrency" -> (CrawlQueries.politenessConcurrency(_, _)),
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
+    "sitemap_discover" -> (CrawlQueries.sitemapDiscover(_, _)),
     "stream_extract" -> (CrawlQueries.streamExtract(_, _)),
     "stream_metrics" -> (CrawlQueries.streamMetrics(_, _)),
     // --- training-data pipeline ops ---
@@ -153,6 +154,11 @@ object SparkEntry {
         |  '2025-0'||k||'-0'||i AS date_s
         |FROM documents d, generate_series(1,2) s(k), generate_series(1,3) s2(i)
         |ORDER BY 1,2,3""".stripMargin,
+    "sitemap_discover" ->
+      """SELECT doc_id, k-1 AS pos,
+        |  'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
+        |  '2024-0'||k||'-01' AS lastmod
+        |FROM documents, generate_series(1,3) s(k) ORDER BY 1,2""".stripMargin,
     "crawl_metrics" -> crawlMetricsOracle,
     // streaming stateful agg over the same pages must land on the same counts
     "stream_metrics" -> crawlMetricsOracle,

@@ -32,6 +32,7 @@ import graft.html.Entities
   *   /ok/b1.html, /blocked/b1.html   robots gating (north-rule addition)
   *   /edge/e1.html              parser leniency + P3/P7/P8 semantics
   *   http://{host}/robots.txt   for hosts of docs d < 50
+  *   /sitemap.xml               seed discovery: the doc's 3 list pages
   */
 object Fixtures {
 
@@ -162,6 +163,14 @@ object Fixtures {
     add(s"$b/edge/e1.html",
       s"""<div id=edge><ul class=z><li><p>A$d</p><p>B$d</p><span class="empty"></span></li><li><span class="only-date">2024-01-01</span></li><li><em>nothing relevant</em></li></ul><div class=ent>&lt;x&gt; &amp; &quot;q&quot; &#169;$d</div><table><tr><td>c1</td><td>c2$d</table></div>""",
       sn)
+
+    // ---- sitemap: per-site seed discovery (north-rule frontier seeding);
+    // lists the doc's list pages with lastmod metadata
+    add(s"$b/sitemap.xml",
+      """<?xml version="1.0" encoding="UTF-8"?><urlset>""" +
+        (1 to 3).map(k =>
+          s"<url><loc>$b/list/p$k.html</loc><lastmod>2024-0$k-01</lastmod></url>").mkString +
+        "</urlset>", "")
 
     // ---- robots.txt, one per host (docs 0..49 own hosts h0..h49)
     if (d < 50) {

@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.extract.{CrawlExtractExpression, Job, JsProperty, Selector}
+
+/** Sitemap ingestion — seed discovery for the URL frontier (north-rule
+  * "priority frontier" surface; no reference analog — rabida starts from a
+  * hand-given Link only).
+  *
+  * `sitemap.xml` documents ride the same corpus table as pages and flow
+  * through the SAME Catalyst extraction expression as HTML scraping: the
+  * lenient parser treats `<urlset>/<url>/<loc>` as ordinary elements, so a
+  * `urlset > url` scope with `loc`/`lastmod` leaves is exactly a P1/P2
+  * extraction — one expression per sitemap, map-local, no driver parsing.
+  * Discovered entries carry their sitemap position as `priority` so the
+  * frontier can honor the publisher's ordering.
+  */
+object Sitemaps {
+
+  private val sitemapJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "urlset > url",
+      attrs = Some(Map(
+        "loc" -> Selector(css = "loc"),
+        "lastmod" -> Selector(css = "lastmod")))))
+
+  /** One row per `<url>` entry of every sitemap.xml document in the
+    * corpus: (sitemap_url, pos, url, lastmod). `url` is absolutized against
+    * the sitemap's own url (sitemaps must not reference foreign hosts —
+    * enforced here as the spec requires).
+    */
+  def discover(corpus: DataFrame): DataFrame = {
+    val x = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0),
+      sitemapJob, JsProperty, scroll = false)
+    val resolve = udf { (base: String, loc: String) =>
+      if (loc == null) null else graft.urls.Urls.resolve(base, loc.trim)
+    }
+    corpus.filter(col("url").endsWith("/sitemap.xml"))
+      .select(col("url").as("sitemap_url"), x.as("x"))
+      .select(col("sitemap_url"), posexplode(col("x.items")).as(Seq("pos", "item")))
+      .select(col("sitemap_url"), col("pos"),
+        resolve(col("sitemap_url"), col("item.loc")).as("url"),
+        col("item.lastmod").as("lastmod"))
+      .filter(col("url").isNotNull)
+      // same-host discipline (sitemaps.org: a sitemap only applies to urls
+      // on its own host)
+      .filter(expr("parse_url(sitemap_url, 'HOST') = parse_url(url, 'HOST')"))
+  }
+}

@@ -58,6 +58,21 @@ class EngineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("sitemap-discovered seeds fetch exactly the listed pages and extract their items") {
+    val sm = graft.engine.Sitemaps.discover(corpus).collect()
+    assert(sm.length == docs.length * 3)
+    val seeds = sm.map(r => (s"s${r.getString(0)}#${r.getInt(1)}", r.getString(2))).toSeq
+    // frontier seeded straight from the sitemap: no pagination needed
+    val noPag = CrawlQueries.listJob.copy(paginator = graft.extract.Selector(), limit = 0)
+    val out = new Crawler(spark, corpus).crawl(noPag, seeds)
+      .filter(col("item").isNotNull)
+    val urls = out.select("url").distinct().collect().map(_.getString(0)).toSet
+    assert(urls == seeds.map(_._2).toSet)
+    val titles = out.select("item.title").collect().map(_.getString(0))
+    assert(titles.length == seeds.size * 4)
+    assert(titles.forall(_.matches("Doc \\d+ item \\d-\\d")))
+  }
+
   test("batch-limited priority frontier crawls everything over more rounds") {
     val full = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
       .filter(col("item").isNotNull)
