@@ -63,13 +63,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("collect_list"))
   }
 
-  test("minhash lsh: banded buckets cached so the signature pass runs once") {
+  test("minhash lsh: bucket-local est-prescreen — no pair-sized set join, one sig pass") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = graft.pipeline.Dedup.minhashLshPairs(docs)
     q.count()
     val plan = q.queryExecution.executedPlan.toString
-    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(plan).size >= 2,
-      s"both self-join sides must read the cached buckets:\n${plan.take(1500)}")
+    // candidates come from a bucket-group aggregate (collect_list of packed
+    // member signatures), not a bucket self-join
+    assert(plan.contains("collect_list"), s"bucket groups must aggregate members:\n${plan.take(1500)}")
+    // the only joins in the output plan tree are the two survivor-sized
+    // verify joins (the set semi-join prune lives in the cached `sets`
+    // subplan) — the old bucket self-join shape had a pair-space join
+    // carrying full shingle sets on top of these
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 2, s"expected ≤2 verify joins in the result tree, got $joins:\n${plan.take(2000)}")
+    // the signature/est UDFs live behind the cand cache boundary: the
+    // result tree itself contains no Generate at all (a duplicated
+    // signature pass would surface one per reference)
+    val gens = q.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.size
+    assert(gens == 0, s"signature pass must sit once behind the cache, got $gens generates")
   }
 
   test("fetch join: frontier batch broadcasts, corpus side never shuffles") {
