@@ -192,14 +192,11 @@ object SparkEntry {
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY 1""".stripMargin,
-    "ann_topk" ->
-      """WITH scored AS (
-        |  SELECT a.vec_id AS q, b.vec_id AS n_id,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id)
-        |SELECT q AS vec_id, n_id AS neighbor_id, rank FROM scored WHERE rank <= 3 ORDER BY 1,3""".stripMargin,
+    // ann_ivf runs at nProbe = nCells (see PipelineQueries.annIvf): every
+    // cell is probed, so cell assignment + probe join + re-rank must land
+    // exactly on the brute-force answer — the same SQL is the oracle
+    "ann_ivf" -> annTopkOracle,
+    "ann_topk" -> annTopkOracle,
     "emb_near_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
@@ -291,6 +288,7 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
         |FROM orders QUALIFY rk <= 3 ORDER BY 1,3""".stripMargin,
+    "ann_lsh" -> annLshOracle,
     "doc_fingerprint" -> docFingerprintOracle,
     "dedup_simhash" -> simhashOracle,
     "q_events_window" -> eventsWindowOracle,
@@ -363,6 +361,46 @@ object SparkEntry {
       |FROM banded x JOIN banded y ON x.b=y.b AND x.bits=y.bits AND x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.su, y.su)) <= 6
       |ORDER BY 1,2""".stripMargin
+
+  // ann_lsh reconstructed end-to-end in SQL: the 32 seeded hyperplanes are
+  // embedded as DOUBLE[] literals (Double.toString round-trips, and both
+  // engines accumulate dot products in index order as doubles, so the sign
+  // signatures agree bit-exactly), then the (table, sig) bucket join and
+  // the exact cosine re-rank are re-derived independently by DuckDB —
+  // the same literal-reconstruction recipe as the SimHash oracle.
+  private lazy val annLshOracle: String = {
+    val bits = 4; val tables = 8
+    val planes = graft.pipeline.Similarity.hyperplanes(64, bits * tables, 42L)
+    val rows = planes.zipWithIndex.map { case (v, pid) =>
+      s"($pid, [${v.map(_.toString).mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH planes(pid, v) AS (VALUES
+       |$rows),
+       |sigs AS (
+       |  SELECT e.vec_id, p.pid // $bits AS tbl,
+       |    CAST(sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.v) >= 0
+       |                  THEN (1 << (p.pid % $bits)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings e, planes p GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM sigs q JOIN sigs n ON q.tbl = n.tbl AND q.sig = n.sig
+       |  WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.n_id,
+       |    row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, c.n_id) AS rank
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.q_id JOIN embeddings b ON b.vec_id = c.n_id)
+       |SELECT q_id AS vec_id, n_id AS neighbor_id, rank FROM scored WHERE rank <= 3 ORDER BY 1, 3""".stripMargin
+  }
+
+  private val annTopkOracle: String =
+    """WITH scored AS (
+      |  SELECT a.vec_id AS q, b.vec_id AS n_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id)
+      |SELECT q AS vec_id, n_id AS neighbor_id, rank FROM scored WHERE rank <= 3 ORDER BY 1,3""".stripMargin
 
   private val eventsWindowOracle: String =
     """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,

@@ -50,8 +50,12 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  /** Deterministic random hyperplanes (seeded) as literal arrays. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (seeded) as literal arrays. Exposed
+    * so the DuckDB oracle can embed the exact same doubles as SQL literals
+    * and reconstruct the sign signatures + bucket join independently
+    * (Double.toString round-trips, so both engines see identical planes).
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rng = new java.util.Random(seed)
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
