@@ -272,13 +272,13 @@ object CrawlQueries {
     */
   def streamExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.streaming.{EventStreams, PageStreams}
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
+    val dir = EventStreams.stagingDir("pages", sfDir)
     Fixtures.corpus(spark, sfDir).filter(col("url").contains("/list/"))
       .write.mode("overwrite").parquet(dir)
     val items = PageStreams
       .extractedItems(PageStreams.readPages(spark, dir, maxFilesPerTrigger = 4), listJob)
       .filter(col("item").isNotNull)
-    val table = "stream_extract_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = "stream_extract_sink"
     EventStreams.runToMemory(spark, items, table,
         org.apache.spark.sql.streaming.OutputMode.Append())
       .select(
@@ -296,13 +296,13 @@ object CrawlQueries {
     */
   def streamMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.streaming.{EventStreams, PageStreams}
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
+    val dir = EventStreams.stagingDir("pages", sfDir)
     Fixtures.corpus(spark, sfDir).filter(col("url").contains("/list/"))
       .write.mode("overwrite").parquet(dir)
     val counts = PageStreams.readPages(spark, dir, maxFilesPerTrigger = 4)
       .groupBy(expr("parse_url(url, 'HOST')").as("host"))
       .agg(count(lit(1)).as("pages"))
-    val table = "stream_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = "stream_metrics_sink"
     EventStreams.runToMemory(spark, counts, table).orderBy("host")
   }
 

@@ -147,11 +147,11 @@ object PipelineQueries {
     import graft.streaming.EventStreams
     // the testdata table is a single parquet file; the file-stream source
     // wants a directory of arriving files — stage it as 4 (4 micro-batches)
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events").toString
+    val dir = EventStreams.stagingDir("events", sfDir)
     spark.read.parquet(s"$sfDir/events.parquet").repartition(4)
       .write.mode("overwrite").parquet(dir)
     val stream = EventStreams.readEvents(spark, dir)
-    val table = "stream_events_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val table = "stream_events_sink"
     EventStreams.runToMemory(spark, EventStreams.windowedRollup(stream), table)
       .orderBy("win_start", "event_type")
   }

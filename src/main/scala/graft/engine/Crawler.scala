@@ -140,27 +140,30 @@ final class Crawler(
     val store = config.checkpointDir.map(d => new FrontierStore(d)(spark))
     val resumed = store.flatMap(_.loadLatest())
 
-    val robotsBc = if (config.respectRobots) Some(broadcastRobots()) else None
-    def robotsFilter(df: DataFrame): DataFrame = robotsBc match {
-      case None => df
-      case Some(bc) =>
-        val allowed = udf { (url: String) =>
-          val h = Urls.host(url)
-          bc.value.get(h).forall(_.isAllowed(Robots.pathOf(url)))
+    def robotsFilter(df: DataFrame): DataFrame =
+      if (!config.respectRobots) df
+      else {
+        val allowed = udf { (path: String, allows: Seq[String], disallows: Seq[String]) =>
+          (allows == null && disallows == null) ||
+            Robots.Rules(
+              if (allows == null) Vector.empty else allows.toVector,
+              if (disallows == null) Vector.empty else disallows.toVector)
+              .isAllowed(path)
         }
-        df.filter(allowed(col("url")))
-    }
+        val pathUdf = udf { (u: String) => Robots.pathOf(u) }
+        df.withColumn("__r_host", hostOf(col("url")))
+          .join(robotsDim.drop("__r_delay_ms"), Seq("__r_host"), "left")
+          .filter(allowed(pathUdf(col("url")), col("__r_allows"), col("__r_disallows")))
+          .drop("__r_host", "__r_allows", "__r_disallows")
+      }
 
-    // robots Crawl-delay → per-host politeness gap floor. A broadcast map
-    // literal is right at corpus scale (one entry per host that declares a
-    // delay); at 10^10 urls this becomes a join against a host-dimension
-    // table — same column contract.
-    val robotsDelayCol: Option[org.apache.spark.sql.Column] = robotsBc.flatMap { bc =>
-      val hostDelays = bc.value.collect { case (h, r) if r.crawlDelayMs.exists(_ > 0) => h -> r.crawlDelayMs.get }
-      if (hostDelays.isEmpty) None
-      else Some(element_at(typedLit(hostDelays), col("host")))
-    }
-    val politenessActive = config.politeness.enabled || robotsDelayCol.isDefined
+    // robots Crawl-delay → per-host politeness gap floor, joined from the
+    // executor-parsed host dimension. One tiny driver probe on the cached
+    // dim decides whether any host declares a delay (so delay-free crawls
+    // skip the per-round host-window shuffle entirely, as before).
+    val robotsHasDelay = config.respectRobots &&
+      !robotsDim.filter(col("__r_delay_ms") > 0).isEmpty
+    val politenessActive = config.politeness.enabled || robotsHasDelay
 
     var frontier: DataFrame = resumed match {
       case Some(s) => s.frontier
@@ -262,12 +265,23 @@ final class Crawler(
           if (job.startPageUrl.nonEmpty) job.startPageUrl else job.link,
           job.enableCookies.rawCookies, job.enableCookies.expires)))
 
+      // robots Crawl-delay rides in per host via the dimension join (left:
+      // hosts without a declared delay schedule on the engine's own knobs)
+      val fetchedWithDelay =
+        if (robotsHasDelay)
+          fetched.join(
+            robotsDim.select(col("__r_host").as("host"),
+              when(col("__r_delay_ms") > 0, col("__r_delay_ms")).as("__robots_delay_ms")),
+            Seq("host"), "left")
+        else fetched
+
       // politeness windows by host; without rebalancing, extraction would
       // inherit that partitioning and a hot (Zipf) host would serialize all
       // its parsing in one task — repartition by url hash so parse work
       // spreads evenly (SURVEY.md §7 hard part 5: salting the skew out of
       // the post-schedule stage; schedule columns are already computed)
-      val paced0 = Politeness.schedule(fetched, config.politeness, robotsDelayCol)
+      val paced0 = Politeness.schedule(fetchedWithDelay, config.politeness,
+        if (robotsHasDelay) Some(col("__robots_delay_ms")) else None)
       val paced1 =
         if (politenessActive) paced0.repartition(col("url_hash"))
         else paced0
@@ -463,22 +477,29 @@ final class Crawler(
         StructField("error", StringType))))
   }
 
-  /** Robots rules per host, parsed from corpus rows whose url ends with
-    * "/robots.txt" and broadcast (they are tiny relative to the corpus).
+  /** Host-keyed robots dimension, parsed ON THE EXECUTORS — no corpus
+    * collect to the driver at any host count. One row per host that
+    * publishes a robots.txt: (host, allows, disallows, crawl-delay ms).
+    * Cached (tiny relative to the corpus) so the per-round filter joins
+    * reuse it, and deliberately NOT broadcast-hinted: AQE broadcasts it
+    * while it fits and falls back to a shuffled hash join at the
+    * 10^7–10^8-host scale where a driver-built broadcast would be a
+    * memory cliff.
     */
-  private def broadcastRobots(): org.apache.spark.broadcast.Broadcast[Map[String, Robots.Rules]] = {
-    val rows = corpus.filter(col("url").endsWith("/robots.txt"))
-      .select(col("url"), col("html")).collect()
-    val map = rows.map { r =>
-      val url = r.getString(0)
-      val body = r.get(1) match {
-        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
-        case s: String      => s
-        case _              => ""
-      }
-      Urls.host(url) -> Robots.parseFor(body, config.robotsUserAgent)
-    }.toMap
-    spark.sparkContext.broadcast(map)
+  private lazy val robotsDim: DataFrame = {
+    val ua = config.robotsUserAgent
+    val parse = udf { (url: String, html: Array[Byte]) =>
+      val body =
+        if (html == null) ""
+        else new String(html, java.nio.charset.StandardCharsets.UTF_8)
+      val r = Robots.parseFor(body, ua)
+      (Urls.host(url), r.allows, r.disallows, r.crawlDelayMs.getOrElse(-1L))
+    }
+    corpus.filter(col("url").endsWith("/robots.txt"))
+      .select(parse(col("url"), col("html").cast("binary")).as("r"))
+      .select(col("r._1").as("__r_host"), col("r._2").as("__r_allows"),
+        col("r._3").as("__r_disallows"), col("r._4").as("__r_delay_ms"))
+      .cache()
   }
 }
 

@@ -92,6 +92,13 @@ object Politeness {
     * effective wave gap is `greatest(configured jitter, crawl-delay)`, and
     * a crawl-delay alone activates scheduling even when the engine's own
     * delay knobs are 0.
+    *
+    * DELIBERATE DEVIATION: with `concurrency` c > 1 the crawl-delay floor
+    * applies between WAVES, so a host still receives c near-simultaneous
+    * requests per delay window — weaker than Crawl-delay's per-request
+    * intent. The engine default (c = 1, matching the reference's one
+    * browser per host) honors the strict reading; deployments raising c
+    * on robots-delayed hosts are opting into the wave interpretation.
     */
   def schedule(df: DataFrame, conf: Config, robotsDelayMs: Option[Column] = None): DataFrame = {
     if (!conf.enabled && robotsDelayMs.isEmpty)

@@ -35,34 +35,65 @@ object Robots {
 
   /** RFC 9309 §2.2.3 rule match: the pattern must match a prefix of `path`;
     * `*` matches any (possibly empty) character run and a trailing `$`
-    * anchors the end. Greedy left-to-right segment search — linear in the
-    * path, no regex compilation in the per-url hot path.
+    * anchors the end. Greedy left-to-right segment scan directly over the
+    * pattern string — indexOf only, zero allocation, no String.split and
+    * no regex compilation in the per-url hot path.
     */
   private[engine] def matches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
-    val p = if (anchored) pattern.dropRight(1) else pattern
-    if (!p.contains('*')) {
-      if (anchored) path == p else path.startsWith(p)
-    } else {
-      val parts = p.split("\\*", -1)
-      if (!path.startsWith(parts(0))) return false
-      var pos = parts(0).length
-      // the last segment of an anchored pattern must sit at the END of the
-      // path, so it is excluded from the floating greedy scan
-      val floatingEnd = if (anchored) parts.length - 1 else parts.length
-      var i = 1
-      while (i < floatingEnd) {
-        val idx = path.indexOf(parts(i), pos)
-        if (idx < 0) return false
-        pos = idx + parts(i).length
-        i += 1
-      }
-      if (!anchored) true
-      else {
-        val last = parts(parts.length - 1)
-        path.length - last.length >= pos && path.endsWith(last)
-      }
+    val pEnd = if (anchored) pattern.length - 1 else pattern.length
+    val firstStar = {
+      val i = pattern.indexOf('*')
+      if (i < 0 || i >= pEnd) -1 else i
     }
+    if (firstStar < 0) {
+      // no wildcard: plain prefix (or exact when anchored)
+      if (anchored)
+        path.length == pEnd && path.regionMatches(0, pattern, 0, pEnd)
+      else
+        path.regionMatches(0, pattern, 0, pEnd)
+    } else {
+      if (!path.regionMatches(0, pattern, 0, firstStar)) return false
+      var pos = firstStar // chars of path consumed so far
+      var segStart = firstStar + 1
+      while (true) {
+        val nextStar = {
+          val i = pattern.indexOf('*', segStart)
+          if (i < 0 || i >= pEnd) -1 else i
+        }
+        val segEnd = if (nextStar < 0) pEnd else nextStar
+        val segLen = segEnd - segStart
+        if (nextStar < 0) {
+          // last segment: anchored ⇒ must close the path; floating ⇒ must
+          // merely occur after pos (RFC prefix semantics make the rest free)
+          return if (anchored)
+            path.length - segLen >= pos &&
+              path.regionMatches(path.length - segLen, pattern, segStart, segLen)
+          else segLen == 0 || indexOfSeg(path, pos, pattern, segStart, segLen) >= 0
+        }
+        if (segLen > 0) {
+          val idx = indexOfSeg(path, pos, pattern, segStart, segLen)
+          if (idx < 0) return false
+          pos = idx + segLen
+        }
+        segStart = nextStar + 1
+      }
+      false // unreachable
+    }
+  }
+
+  /** indexOf of pattern[segStart, segStart+segLen) in `path` from `from` —
+    * a windowed scan so segments need no substring allocation.
+    */
+  private def indexOfSeg(path: String, from: Int, pattern: String,
+                         segStart: Int, segLen: Int): Int = {
+    var i = math.max(0, from)
+    val last = path.length - segLen
+    while (i <= last) {
+      if (path.regionMatches(i, pattern, segStart, segLen)) return i
+      i += 1
+    }
+    -1
   }
 
   private final case class Group(uas: Vector[String], allows: Vector[String],
@@ -133,7 +164,9 @@ object Robots {
             if (open && value.nonEmpty) disallows += value
           case "crawl-delay" =>
             inHeader = false
-            if (open) delay = value.toDoubleOption.map(d => math.max(0L, (d * 1000).toLong))
+            // unparsable values are IGNORED (they must not clobber a valid
+            // delay declared earlier in the same group)
+            if (open) value.toDoubleOption.foreach(d => delay = Some(math.max(0L, (d * 1000).toLong)))
           case _ =>
             inHeader = false
         }

@@ -61,13 +61,26 @@ object EventStreams {
   }
 
   /** Run a streaming query to a memory sink synchronously (test helper):
-    * processes everything available, returns the sink table.
+    * processes everything available, materializes the result, and DROPS
+    * the sink's temp view — repeated runs in one session leave no
+    * accumulated tables, and deterministic sink names are reuse-safe.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    spark.catalog.dropTempView(name) // stale sink from an aborted prior run
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    val out = spark.table(name).localCheckpoint(true) // eager copy out of the sink
+    spark.catalog.dropTempView(name)
+    out
   }
+
+  /** Deterministic staging dir for corpus → file-stream twins: repeated
+    * verify/bench runs overwrite one directory per (tag, source) instead
+    * of accumulating fresh createTempDirectory copies in /tmp.
+    */
+  def stagingDir(tag: String, sfDir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stage-$tag-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").toString
 }
