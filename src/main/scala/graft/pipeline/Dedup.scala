@@ -374,35 +374,40 @@ object Dedup {
     * trick (hamming ≤ 3 ⇒ at least one identical 16-bit band), verified
     * with `bit_count` on the xor — all columnar after the UDF.
     */
-  def simhash64: Column => Column = {
-    val f = udf { (text: String) =>
-      val votes = new Array[Int](64)
-      def fnv(s: String): Long = {
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-        h
-      }
-      val words = text.split(' ')
+  /** Scalar SimHash (the UDF body) — also registered SQL-callable as
+    * `graft_simhash64` by [[graft.functions.GraftFunctions]].
+    */
+  def simhash64Value(text: String): Long = {
+    val votes = new Array[Int](64)
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
       var i = 0
-      while (i < words.length) {
-        if (words(i).nonEmpty) {
-          val h1 = fnv(words(i))
-          var b = 0
-          while (b < 64) { votes(b) += (if (((h1 >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-          if (i + 1 < words.length && words(i + 1).nonEmpty) {
-            val h2 = fnv(words(i) + " " + words(i + 1))
-            b = 0
-            while (b < 64) { votes(b) += (if (((h2 >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-      out
+      while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      h
     }
+    val words = text.split(' ')
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val h1 = fnv(words(i))
+        var b = 0
+        while (b < 64) { votes(b) += (if (((h1 >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+        if (i + 1 < words.length && words(i + 1).nonEmpty) {
+          val h2 = fnv(words(i) + " " + words(i + 1))
+          b = 0
+          while (b < 64) { votes(b) += (if (((h2 >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash64: Column => Column = {
+    val f = udf { (text: String) => simhash64Value(text) }
     (c: Column) => f(c)
   }
 

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The SQL-callable function surface (GraftFunctions.registerAll): each
+  * registered function must agree with the engine primitive it wraps, and
+  * vec_dot must plan as the native codegen expression, not a UDF.
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("sql-functions-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.registerAll(s)
+    s
+  }
+
+  private def one(sql: String): Any = spark.sql(sql).head().get(0)
+
+  test("extraction primitives from SQL match the engine primitives") {
+    val html = "<html><body><div class='a'>Hello <b>world</b></div>" +
+      "<a href='/x/y.html' id='l'>link</a><div class='a'>second</div></body></html>"
+    val lit = html.replace("'", "''")
+    assert(one(s"SELECT graft_inner_text('$lit')") ===
+      graft.html.Text.innerText(graft.extract.Extractor.parseDocument(html)))
+    assert(one(s"SELECT graft_css_first_text('$lit', 'div.a')") === "Hello world")
+    assert(one(s"SELECT graft_css_all_text('$lit', 'div.a')") ===
+      Seq("Hello world", "second"))
+    assert(one(s"SELECT graft_css_attr('$lit', 'a#l', 'href', 'http://h0.test/d/p.html')") ===
+      "http://h0.test/x/y.html")
+    assert(one(s"SELECT graft_outer_html('$lit', 'b')") === "<b>world</b>")
+    assert(one(s"SELECT graft_xpath_text('$lit', '//a/@href')") === "/x/y.html")
+  }
+
+  test("url + robots helpers from SQL") {
+    assert(one("SELECT graft_url_host('http://h7.test/a/b.html')") === "h7.test")
+    assert(one("SELECT graft_url_resolve('http://h0.test/d/p.html', '../x.html')") ===
+      "http://h0.test/x.html")
+    val robots = "User-agent: *\\nDisallow: /private/\\nCrawl-delay: 2"
+    assert(one(s"SELECT graft_robots_allowed('$robots', '*', '/public/a')") === true)
+    assert(one(s"SELECT graft_robots_allowed('$robots', '*', '/private/a')") === false)
+    assert(one(s"SELECT graft_robots_crawl_delay_ms('$robots', '*')") === 2000L)
+  }
+
+  test("graft_simhash64 agrees with the dedup sketch") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    assert(one(s"SELECT graft_simhash64('$t')") === graft.pipeline.Dedup.simhash64Value(t))
+  }
+
+  test("vec_dot from SQL is the native codegen expression") {
+    // literal inputs constant-fold (already proof of a native expression —
+    // Scala UDFs never fold); non-literal inputs show VecDot in the plan
+    assert(one("SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))") === 32.0)
+    // (VALUES folds too, via ConvertToLocalRelation — range() does not)
+    val df = spark.range(1).selectExpr(
+      "vec_dot(array(cast(id AS double), 2.0D), array(3.0D, 4.0D)) AS d")
+    assert(df.head().getDouble(0) === 8.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("vecdot"), s"expected native VecDot:\n$plan")
+    assert(!plan.contains("UDF"), s"vec_dot must not plan as a Scala UDF:\n$plan")
+  }
+
+  test("SQL-composed extraction over the fixture corpus matches the DataFrame path") {
+    val sf = "/root/testdata/sf0.001"
+    graft.corpus.Fixtures.corpus(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("url").contains("/list/p1.html"))
+      .limit(20).createOrReplaceTempView("pages_v")
+    val rows = spark.sql(
+      """SELECT url, graft_css_first_text(cast(html AS string), 'ul#doclist a.tit') AS title
+        |FROM pages_v ORDER BY url""".stripMargin).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getString(1).startsWith("Doc ")))
+    spark.catalog.dropTempView("pages_v")
+  }
+}
