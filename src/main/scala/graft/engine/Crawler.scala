@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, GraftSqlBridge => B}
 import org.apache.spark.sql.functions._
 import graft.extract._
 import graft.urls.Urls
@@ -165,15 +165,24 @@ final class Crawler(
       !robotsDim.filter(col("__r_delay_ms") > 0).isEmpty
     val politenessActive = config.politeness.enabled || robotsHasDelay
 
-    // lazy local checkpoints throughout the loop: the checkpoint still cuts
-    // lineage (the plan boundary is created immediately), but
-    // materialization folds into the round's ONE driver action — the
-    // frontier count — instead of running a separate eager job per
-    // checkpoint. Measured serial-floor lever (BASELINE.md round 2:
-    // removing one per-round checkpoint job lifted 1v4 scaling 0.59→0.64).
-    var frontier: DataFrame = resumed match {
-      case Some(s) => s.frontier
-      case None    => enrich(robotsFilter(applyStartPageBtn(job, seeds0)), lit(0)).localCheckpoint(false)
+    // per-round checkpoints are EAGER (lazy localCheckpoint under
+    // multi-JVM local-cluster races executor block registration in the
+    // post-action missing-block scan and re-runs the plan — measured 1.7×
+    // slower), but checkpoint + loop-control count are fused into ONE
+    // driver job via localCheckpointWithCount. Measured serial-floor
+    // lever (BASELINE.md round 2: removing one per-round driver job
+    // lifted 1v4 scaling 0.59→0.64).
+    var frontier: DataFrame = null
+    var frontierCount = 0L
+    resumed match {
+      case Some(s) =>
+        frontier = s.frontier
+        frontierCount = frontier.count()
+      case None =>
+        val (chk, n) = B.localCheckpointWithCount(
+          enrich(robotsFilter(applyStartPageBtn(job, seeds0)), lit(0)))
+        frontier = chk
+        frontierCount = n
     }
     var seen: DataFrame = resumed match {
       case Some(s) => s.seen
@@ -242,7 +251,6 @@ final class Crawler(
     // round (successor batches are disjoint from seen by construction, so
     // the estimate is exact)
     var seenEstimate = if (resumed.isDefined) seen.count() else 0L
-    var frontierCount = frontier.count()
     var aborted = false
 
     // S6: deterministic per-url user-agent assignment from a broadcast
@@ -345,15 +353,12 @@ final class Crawler(
         timeBudgetMs = config.timeBudgetMs)
       // checkpoint BEFORE projecting struct fields: guarantees exactly ONE
       // extraction (one HTML parse) per page — projecting fields first
-      // would let CollapseProject clone the expression per field. Lazy:
-      // the Catalyst boundary exists immediately (the RDD is compiled
-      // here), and the parse work runs inside the round's frontier-count
-      // action; the checkpoint blocks then serve every later consumer.
+      // would let CollapseProject clone the expression per field.
       val materialized = withFrame
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
           col("emitted_ms"), col("ua"), col("cookies"), col("cookie_jar"), x.as("x"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val pages = materialized
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
@@ -449,13 +454,14 @@ final class Crawler(
       // a successor may already be QUEUED (in the unfetched remainder) even
       // though not yet seen — anti-join against the remainder too, keeping
       // the earlier-queued row (BFS order), so no url is fetched twice
-      frontier = (if (batchCount < frontierCount)
-        remainder.unionByName(
-          succ.join(remainder.select("seed_id", "url_hash"), Seq("seed_id", "url_hash"), "left_anti"))
-      else succ).localCheckpoint(false)
-      // THE round's driver action: materializes this round's extraction
-      // checkpoint + the new frontier and returns the loop-control count
-      frontierCount = frontier.count()
+      // checkpoint + loop-control count, one driver job
+      val (chk, n) = B.localCheckpointWithCount(
+        if (batchCount < frontierCount)
+          remainder.unionByName(
+            succ.join(remainder.select("seed_id", "url_hash"), Seq("seed_id", "url_hash"), "left_anti"))
+        else succ)
+      frontier = chk
+      frontierCount = n
 
       store.foreach { st =>
         // capture this round's immutable frames/counters for the async task

@@ -11,6 +11,25 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eager local checkpoint + row count in ONE job. Mechanically identical
+    * to `Dataset.localCheckpoint(eager = true)` — compile the plan to an
+    * RDD, copy rows, mark for local checkpointing, run an eager
+    * materializing action — except the action's count is RETURNED instead
+    * of discarded, so a loop that needs both the checkpoint and the count
+    * (the crawler's per-round frontier) pays one driver job, not two.
+    * (A LAZY Dataset.localCheckpoint would also merge the jobs, but under
+    * multi-JVM local-cluster the post-action missing-block scan races
+    * executor block registration and re-runs the whole plan — measured
+    * 1.7× slower; this keeps the proven eager ordering.)
+    */
+  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    (spark.internalCreateDataFrame(rdd, df.schema), n)
+  }
+
   /** Register a NATIVE Catalyst expression under a SQL-callable name (the
     * codegen path — unlike `spark.udf.register`, calls from SQL stay
     * inside whole-stage codegen).
