@@ -12,7 +12,7 @@ object ScalingWorker {
     val mult = args(2).toInt
     val spark = Bench.mkSession(cores.toString)
     import spark.implicits._
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
     // family=list keeps only the crawled family's pages so the corpus (and
     // its cache) stays proportional to the measured work — lets `mult`
     // grow the ROUND SIZE into the regime a 10^10-URL frontier is always

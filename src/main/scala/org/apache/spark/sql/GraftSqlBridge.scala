@@ -24,10 +24,18 @@ object GraftSqlBridge {
     */
   def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val ds = df.asInstanceOf[classic.Dataset[_]]
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val n = rdd.count()
-    (spark.internalCreateDataFrame(rdd, df.schema), n)
+    // LogicalRDD.fromDataset — the same factory Dataset.checkpoint uses —
+    // carries the physical plan's outputPartitioning/outputOrdering across
+    // the checkpoint. Dropping them (plain internalCreateDataFrame) makes
+    // every later round re-shuffle the whole seen-union: measured 1.9×
+    // slower at 960k-page rounds under local-cluster.
+    val logical = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    (classic.Dataset.ofRows(spark, logical), n)
   }
 
   /** Register a NATIVE Catalyst expression under a SQL-callable name (the
