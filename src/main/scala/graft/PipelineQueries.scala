@@ -89,6 +89,9 @@ object PipelineQueries {
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.mediaMeta(spark, docs(spark, sfDir))
 
+  def mediaMetaReal(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.mediaMetaReal(spark, docs(spark, sfDir))
+
   def frameSample(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.sampleFrames(spark, docs(spark, sfDir))
 

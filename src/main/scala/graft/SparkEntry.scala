@@ -54,6 +54,7 @@ object SparkEntry {
     "token_count" -> (PipelineQueries.tokenCount(_, _)),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
     "media_meta" -> (PipelineQueries.mediaMeta(_, _)),
+    "media_meta_real" -> (PipelineQueries.mediaMetaReal(_, _)),
     "frame_sample" -> (PipelineQueries.frameSample(_, _)),
     // --- relational / windowed ---
     "q1_agg" -> (PipelineQueries.q1Agg(_, _)),
@@ -269,6 +270,23 @@ object SparkEntry {
         |  CASE n%3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
         |  CAST(320 + n%320 AS BIGINT) AS width, CAST(240 + n%240 AS BIGINT) AS height,
         |  CAST(n%24 + 1 AS BIGINT) AS frames
+        |FROM m ORDER BY 1""".stripMargin,
+    // real-container headers: Spark BUILDS actual PNG/JPEG/GIF/WAV bytes
+    // from doc_id and PARSES them back; the oracle recomputes the shapes
+    // from the same doc_id formulas (png 45 B, jpeg 35 B, gif 14 B, wav
+    // 44 B + 16-bit PCM data) — any offset/endianness bug in the parser
+    // breaks the hash match
+    "media_meta_real" ->
+      """WITH m AS (SELECT doc_id, doc_id%4 AS k FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE k WHEN 0 THEN 45 WHEN 1 THEN 35 WHEN 2 THEN 14
+        |       ELSE 44 + (8 + (doc_id*3)%64) * (1 + doc_id%2) * 2 END AS BIGINT) AS n_bytes,
+        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
+        |  CAST(CASE WHEN k < 3 THEN 16 + (doc_id*7)%1024
+        |       ELSE 8000 + (doc_id*11)%40000 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN k < 3 THEN 16 + (doc_id*13)%768
+        |       ELSE 1 + doc_id%2 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN k < 3 THEN 1 ELSE 8 + (doc_id*3)%64 END AS BIGINT) AS frames
         |FROM m ORDER BY 1""".stripMargin,
     "frame_sample" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)

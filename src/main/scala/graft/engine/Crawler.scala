@@ -204,22 +204,38 @@ final class Crawler(
     val commitPool = store.map(_ => java.util.concurrent.Executors.newSingleThreadExecutor(
       (r: Runnable) => { val t = new Thread(r, "graft-frontier-commit"); t.setDaemon(true); t }))
     val commitFutures = scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
-    def drainCommits(): Unit = {
-      commitFutures.foreach(_.get()) // rethrows any commit failure
-      commitFutures.clear()
-      commitPool.foreach(_.shutdown())
+    def drainCommits(): Unit =
+      try commitFutures.foreach(_.get()) // rethrows any commit failure
+      finally {
+        commitFutures.clear()
+        commitPool.foreach(_.shutdown())
+      }
+    // fail fast each round: a snapshot commit that already failed aborts
+    // the crawl now instead of after all later rounds committed newer
+    // manifests (the single-threaded pool keeps commit order, so a failed
+    // round-N commit means no round>N manifest has been renamed yet)
+    def pollCommits(): Unit = {
+      val done = commitFutures.filter(_.isDone)
+      done.foreach(_.get()) // rethrows the first failure
+      commitFutures --= done
     }
 
     // partitioned cuckoo-filter URL-seen set (north star): one filter per
     // pmod(url_hash, hostBuckets) shard. Shards are built DISTRIBUTEDLY
-    // (aggregateByKey: per-partition inserts, compact blob merge) and kept
-    // on the driver between rounds; only the round's new urls are inserted
-    // incrementally — except the first active round (or resume), which
-    // backfills from the full seen set so the sketch can never false-
-    // negative. At 10^10 urls the shards live co-partitioned with the
-    // frontier's seen table instead of a driver map; the dataflow (shard by
-    // url hash, probe map-side, exact anti-join as authority) is identical.
-    val cuckooShards = scala.collection.mutable.Map[Int, CuckooFilter]()
+    // (aggregateByKey: per-partition inserts, compact blob merge) and —
+    // r4 — RESIDE ON THE EXECUTORS between rounds as a hash-partitioned,
+    // locally-checkpointed RDD[(shard, filter)]: no driver collect, no
+    // per-round shard-map broadcast, so driver memory and per-round cost
+    // stay flat as the seen set grows to 10^8+ urls. Only the round's new
+    // urls are merged in (narrow fullOuterJoin — both sides share the
+    // shard partitioner) — except the first active round (or resume),
+    // which backfills from the full seen set so the sketch can never
+    // false-negative. The merge itself is LAZY: it materializes inside the
+    // same job that checkpoints the round's frontier, adding zero driver
+    // jobs per round.
+    val cuckooPartitioner = new org.apache.spark.HashPartitioner(config.hostBuckets)
+    var cuckooRdd: Option[org.apache.spark.rdd.RDD[(Int, CuckooFilter)]] = None
+    var cuckooPrev: Option[org.apache.spark.rdd.RDD[(Int, CuckooFilter)]] = None
     var cuckooPrimed = false
 
     // incremental broadcast bloom: rebuilding from the FULL seen set every
@@ -233,18 +249,63 @@ final class Crawler(
     def cuckooActive(se: Long): Boolean = se > config.cuckooThreshold
     def insertIntoCuckoo(df: DataFrame): Unit = {
       val nShards = config.hostBuckets
-      val fresh = df
+      val cap = config.cuckooCapacityPerShard
+      val delta = df
         .select(pmod(col("url_hash"), lit(nShards)).cast("int").as("shard"), col("url_hash"))
         .rdd.map(r => (r.getInt(0), r.getLong(1)))
-        .aggregateByKey(CuckooFilter.create(config.cuckooCapacityPerShard))(
+        .aggregateByKey(CuckooFilter.create(cap), cuckooPartitioner)(
           (f, h) => { f.insert(h); f }, (a, b) => a.merge(b))
-        .collect()
-      fresh.foreach { case (s, f) =>
-        cuckooShards.get(s) match {
-          case Some(existing) => existing.merge(f)
-          case None           => cuckooShards(s) = f
-        }
+      val merged = cuckooRdd match {
+        case None => delta
+        case Some(prev) =>
+          // same partitioner on both sides → narrow join, shard-local merge
+          prev.fullOuterJoin(delta, cuckooPartitioner).mapValues {
+            case (Some(a), Some(b)) => a.merge(b)
+            case (Some(a), None)    => a
+            case (None, Some(b))    => b
+            case (None, None)       => CuckooFilter.create(cap)
+          }
       }
+      merged.setName(s"graft-cuckoo-shards")
+      // truncate lineage at first materialization (MEMORY_AND_DISK blocks);
+      // the durable URL-seen authority remains the checkpointed `seen`
+      // table — on executor loss the filters rebuild from it via the
+      // same backfill path used on resume
+      merged.localCheckpoint()
+      cuckooPrev = cuckooRdd
+      cuckooRdd = Some(merged)
+    }
+    // probe rows map-side against the co-partitioned shard filters:
+    // (might-be-seen rows, definitely-new rows). One exchange by shard —
+    // the might rows were headed to the anti-join shuffle anyway, the
+    // definitely-new rows skip it entirely.
+    var cuckooProbePersisted: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    def cuckooProbeSplit(df: DataFrame): (DataFrame, DataFrame) = {
+      val nShards = config.hostBuckets
+      val schema = df.schema
+      val hIdx = schema.fieldIndex("url_hash")
+      val acc = prefilterSkipped
+      val shards = cuckooRdd.get
+      val flagged = df.rdd
+        .map(r => ((((r.getLong(hIdx) % nShards) + nShards) % nShards).toInt, r))
+        .partitionBy(cuckooPartitioner)
+        .zipPartitions(shards, preservesPartitioning = false) { (rows, fs) =>
+          val filters = fs.toMap
+          rows.map { case (shard, row) =>
+            val might = filters.get(shard).exists(_.contains(row.getLong(hIdx)))
+            if (!might) acc.add(1L)
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ might)
+          }
+        }
+        // lazy persist: the two filter branches below share one probe pass
+        // (and the accumulator fires once per row) without an extra job;
+        // unpersisted after the round's frontier checkpoint materializes it
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cuckooProbePersisted = Some(flagged)
+      val fdf = spark.createDataFrame(flagged,
+        schema.add("__cuckoo_might", org.apache.spark.sql.types.BooleanType))
+      (fdf.filter(col("__cuckoo_might")).drop("__cuckoo_might"),
+        fdf.filter(!col("__cuckoo_might")).drop("__cuckoo_might"))
     }
 
     // driver-side running size of the seen set — avoids a count() job per
@@ -259,8 +320,10 @@ final class Crawler(
     val uas = UserAgents.pool
     val uaCol = element_at(typedLit(uas), (pmod(col("url_hash"), lit(uas.length)) + 1).cast("int"))
 
+    try {
     while (round < config.maxRounds && frontierCount > 0 && !aborted) {
       round += 1
+      pollCommits()
       // priority frontier: when a batch limit is set, take the highest-
       // priority slice ordered by (priority, host_bucket) — the north-star
       // frontier discipline; default is the full lockstep BFS round
@@ -417,36 +480,44 @@ final class Crawler(
       val succHashed = enrich(robotsFilter(rawSucc), col("succ_priority")).drop("succ_priority")
 
       // URL-seen sketch prefilter before the exact anti-join once seen is
-      // large: the broadcast bloom (global) AND the partitioned cuckoo
-      // shards (per url-hash shard) — a successor pays the anti-join
-      // shuffle only if EVERY active sketch says "maybe seen". Neither
-      // sketch can false-negative, so definitely-new rows skip the shuffle
-      // with zero loss; the anti-join stays the authority on the residue.
+      // large: the broadcast bloom (global, fixed-capacity) first, then the
+      // executor-resident partitioned cuckoo shards (per url-hash shard,
+      // map-side probe after one exchange) — a successor pays the
+      // anti-join shuffle only if EVERY active sketch says "maybe seen".
+      // Neither sketch can false-negative, so definitely-new rows skip the
+      // shuffle with zero loss; the anti-join stays the authority on the
+      // residue.
       val bloomOpt = bloomFilter.map(spark.sparkContext.broadcast(_))
-      val cuckooOpt =
-        if (cuckooPrimed && cuckooShards.nonEmpty)
-          Some(spark.sparkContext.broadcast(cuckooShards.toMap))
-        else None
+      val cuckooOn = cuckooPrimed && cuckooRdd.nonEmpty
       val preFiltered =
-        if (bloomOpt.isEmpty && cuckooOpt.isEmpty)
+        if (bloomOpt.isEmpty && !cuckooOn)
           succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
         else {
-          val nShards = config.hostBuckets
           val acc = prefilterSkipped
-          val mightBeSeen = udf { (h: Long) =>
-            val might =
-              bloomOpt.forall(_.value.mightContain(h)) &&
-                cuckooOpt.forall { bc =>
-                  val shard = (((h % nShards) + nShards) % nShards).toInt
-                  bc.value.get(shard).exists(_.contains(h))
-                }
-            if (!might) acc.add(1L)
-            might
+          // stage 1: bloom (broadcast, no shuffle) splits off its rejects.
+          // The reject branch's udf counts; the pass branch's doesn't —
+          // each skipped row increments the accumulator exactly once even
+          // though the two branches scan succHashed independently.
+          val (bloomNew, bloomMaybe) = bloomOpt match {
+            case Some(bc) =>
+              val rejectCounted = udf { (h: Long) =>
+                val might = bc.value.mightContain(h)
+                if (!might) acc.add(1L)
+                might
+              }
+              val quiet = udf((h: Long) => bc.value.mightContain(h))
+              (succHashed.filter(!rejectCounted(col("url_hash"))),
+                succHashed.filter(quiet(col("url_hash"))))
+            case None => (spark.emptyDataFrame, succHashed)
           }
-          val definitelyNew = succHashed.filter(!mightBeSeen(col("url_hash")))
-          val maybeSeen = succHashed.filter(mightBeSeen(col("url_hash")))
-            .join(seen, Seq("seed_id", "url_hash"), "left_anti")
-          definitelyNew.unionByName(maybeSeen)
+          // stage 2: cuckoo shard probe (executor-resident, shard-local)
+          // splits the bloom survivors; its rejects also skip the anti-join
+          val (maybeSeen, cuckooNew) =
+            if (cuckooOn) cuckooProbeSplit(bloomMaybe)
+            else (bloomMaybe, spark.emptyDataFrame)
+          val residue = maybeSeen.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+          Seq(bloomNew, cuckooNew).filter(_.columns.nonEmpty)
+            .foldLeft(residue)(_ unionByName _)
         }
 
       val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
@@ -462,6 +533,14 @@ final class Crawler(
         else succ)
       frontier = chk
       frontierCount = n
+
+      // the checkpoint job above materialized this round's cuckoo merge
+      // and probe (they feed the frontier plan) — release the superseded
+      // shard generation and the round's probe cache
+      cuckooPrev.foreach(_.unpersist(blocking = false))
+      cuckooPrev = None
+      cuckooProbePersisted.foreach(_.unpersist(blocking = false))
+      cuckooProbePersisted = None
 
       store.foreach { st =>
         // capture this round's immutable frames/counters for the async task
@@ -484,6 +563,15 @@ final class Crawler(
       }
     }
     drainCommits()
+    } catch {
+      case t: Throwable =>
+        // a round failed: still await queued commits so (a) no async write
+        // races the caller's cleanup and (b) a commit failure surfaces as
+        // a suppressed exception instead of vanishing
+        try drainCommits()
+        catch { case c: Throwable if c ne t => t.addSuppressed(c) }
+        throw t
+    }
 
     val all = perRound.reduceOption(_ unionByName _).getOrElse(emptyPages(job))
     // item explosion: pos continues across scroll rounds via the cursor
@@ -517,8 +605,14 @@ final class Crawler(
   }
 
   /** Host-keyed robots dimension, parsed ON THE EXECUTORS — no corpus
-    * collect to the driver at any host count. One row per host that
-    * publishes a robots.txt: (host, allows, disallows, crawl-delay ms).
+    * collect to the driver at any host count. EXACTLY one row per host
+    * that publishes a robots.txt: (host, allows, disallows, crawl-delay
+    * ms). A host serving robots.txt under several URL variants
+    * (http/https, mirrored paths) must still yield one row — the filter
+    * and delay joins are left joins against the frontier, so a duplicated
+    * host would multiply frontier rows and fetch the same url twice. The
+    * winner is deterministic: min_by robots URL (the driver-side
+    * broadcast Map this replaced was last-write-wins, i.e. arbitrary).
     * Cached (tiny relative to the corpus) so the per-round filter joins
     * reuse it, and deliberately NOT broadcast-hinted: AQE broadcasts it
     * while it fits and falls back to a shuffled hash join at the
@@ -535,9 +629,16 @@ final class Crawler(
       (Urls.host(url), r.allows, r.disallows, r.crawlDelayMs.getOrElse(-1L))
     }
     corpus.filter(col("url").endsWith("/robots.txt"))
-      .select(parse(col("url"), col("html").cast("binary")).as("r"))
-      .select(col("r._1").as("__r_host"), col("r._2").as("__r_allows"),
-        col("r._3").as("__r_disallows"), col("r._4").as("__r_delay_ms"))
+      .select(col("url").as("__r_url"),
+        parse(col("url"), col("html").cast("binary")).as("r"))
+      .groupBy(col("r._1").as("__r_host"))
+      .agg(min_by(
+        struct(col("r._2").as("__r_allows"), col("r._3").as("__r_disallows"),
+          col("r._4").as("__r_delay_ms")),
+        col("__r_url")).as("rules"))
+      .select(col("__r_host"), col("rules.__r_allows").as("__r_allows"),
+        col("rules.__r_disallows").as("__r_disallows"),
+        col("rules.__r_delay_ms").as("__r_delay_ms"))
       .cache()
   }
 }

@@ -27,39 +27,55 @@ object GraftFunctions {
 
   private def parse(html: String): HElem = Extractor.parseDocument(html)
 
+  /** Null-propagating guard: Spark calls reference-typed Scala UDFs with
+    * null for null input columns (no implicit null-skip as for primitive
+    * params), and null html/url/text is a normal corpus condition — the
+    * SQL surface must return null, not NPE, exactly as the DataFrame path
+    * guards (e.g. the iframe UDF's html == null check).
+    */
+  @inline private def nn[A](args: String*)(body: => A): A =
+    if (args.exists(_ == null)) null.asInstanceOf[A] else body
+
   def registerAll(spark: SparkSession): Unit = {
     val u = spark.udf
 
     // --- DOM extraction primitives (P2-P5, P9-P10 of SURVEY.md §2.2) ---
-    u.register("graft_inner_text", (html: String) => Text.innerText(parse(html)))
+    u.register("graft_inner_text", (html: String) =>
+      nn(html)(Text.innerText(parse(html))))
     u.register("graft_css_first_text", (html: String, css: String) =>
-      Css.selectFirst(parse(html), css).map(Text.innerText).getOrElse(""))
+      nn(html, css)(Css.selectFirst(parse(html), css).map(Text.innerText).getOrElse("")))
     u.register("graft_css_all_text", (html: String, css: String) =>
-      Css.selectAll(parse(html), css).map(Text.innerText))
+      nn(html, css)(Css.selectAll(parse(html), css).map(Text.innerText)))
     u.register("graft_css_attr", (html: String, css: String, attr: String, baseUrl: String) =>
-      Css.selectFirst(parse(html), css)
-        .map(e => Extractor.readAttr(e, attr, baseUrl, JsProperty)).getOrElse(""))
+      nn(html, css, attr, baseUrl)(Css.selectFirst(parse(html), css)
+        .map(e => Extractor.readAttr(e, attr, baseUrl, JsProperty)).getOrElse("")))
     u.register("graft_outer_html", (html: String, css: String) =>
-      Css.selectFirst(parse(html), css).map(Serializer.outerHtml).getOrElse(""))
+      nn(html, css)(Css.selectFirst(parse(html), css).map(Serializer.outerHtml).getOrElse("")))
     u.register("graft_xpath_text", (html: String, xpath: String) =>
-      XPathAttr.findOne(parse(html), xpath))
+      nn(html, xpath)(XPathAttr.findOne(parse(html), xpath)))
     u.register("graft_main_text", (html: String) =>
-      MainContent.extractMainText(html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      nn(html)(MainContent.extractMainText(
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
 
     // --- URL canonicalization (the URL-seen key functions) ---
-    u.register("graft_url_host", (url: String) => Urls.host(url))
-    u.register("graft_url_canonical", (url: String) => Urls.canonicalize(url))
-    u.register("graft_url_hash", (url: String) => Urls.urlHash(Urls.canonicalize(url)))
-    u.register("graft_url_resolve", (base: String, href: String) => Urls.resolve(base, href))
+    u.register("graft_url_host", (url: String) => nn(url)(Urls.host(url)))
+    u.register("graft_url_canonical", (url: String) => nn(url)(Urls.canonicalize(url)))
+    u.register("graft_url_hash", (url: String) =>
+      nn(url)(java.lang.Long.valueOf(Urls.urlHash(Urls.canonicalize(url)))))
+    u.register("graft_url_resolve", (base: String, href: String) =>
+      nn(base, href)(Urls.resolve(base, href)))
 
     // --- robots (RFC 9309) ---
     u.register("graft_robots_allowed", (robotsTxt: String, productToken: String, path: String) =>
-      Robots.parseFor(robotsTxt, productToken).isAllowed(path))
+      nn(robotsTxt, productToken, path)(
+        java.lang.Boolean.valueOf(Robots.parseFor(robotsTxt, productToken).isAllowed(path))))
     u.register("graft_robots_crawl_delay_ms", (robotsTxt: String, productToken: String) =>
-      Robots.parseFor(robotsTxt, productToken).crawlDelayMs.getOrElse(-1L))
+      nn(robotsTxt, productToken)(java.lang.Long.valueOf(
+        Robots.parseFor(robotsTxt, productToken).crawlDelayMs.getOrElse(-1L))))
 
     // --- pipeline sketches ---
-    u.register("graft_simhash64", (text: String) => Dedup.simhash64Value(text))
+    u.register("graft_simhash64", (text: String) =>
+      nn(text)(java.lang.Long.valueOf(Dedup.simhash64Value(text))))
 
     // --- native codegen expressions ---
     org.apache.spark.sql.GraftSqlBridge.registerExpression(spark, "vec_dot",

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB / 10^10 docs):
   *  - exact: shuffle carries only (hash128, doc_id), never the text bytes;
   *    map-side partial aggregation halves the shuffle.
-  *  - minhash LSH: shingle explode is the wide step — it is map-local
-  *    (explode + groupBy doc_id re-aggregates within the same partitioning
-  *    after one shuffle by doc_id); band buckets then join candidates only.
-  *    128 permutations / 32 bands × 4 rows → recall ≈ 1-(1-j^4)^32 ≈ 1.0 at
-  *    j ≥ 0.8, so the verified output equals the exact-Jaccard answer.
+  *  - minhash LSH: one map pass per doc computes signature + band hashes
+  *    (no shingle explode); band buckets then generate candidates only.
+  *    128 permutations / 16 bands × 8 rows → recall ≈ 1-(1-j^8)^16 ≈ 1.0 at
+  *    this corpus's true-pair similarities (j ≥ 0.88); equality with the
+  *    exact-Jaccard answer is corpus-verified, not structural — see
+  *    [[minhashLshPairs]].
   *  - verification joins are broadcast when the candidate set is small; AQE
   *    re-plans when it is not.
   */
@@ -123,32 +124,6 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash + LSH banding: candidates from band-bucket collisions, then
-    * exact-Jaccard verification — output equals [[ngramJaccardPairs]] (the
-    * banding only prunes the pair space; recall = 1-(1-j^r)^bands).
-    *
-    * Band geometry is tuned to THIS corpus's measured similarity profile
-    * (template-generated texts: background Jaccard p50=0.45, p999=0.67;
-    * true pairs ≥ 0.88): 16 bands × 8 rows puts the S-curve midpoint at
-    * 16^(-1/8) ≈ 0.71, inside the [0.67, 0.88] gap — candidate rate 6.8%
-    * of all pairs vs 64% for the classic 32×4 geometry (which degenerates
-    * to all-pairs on a saturated corpus), miss probability ≤ 7e-4 for the
-    * weakest true pair (seeded, so recall=1.0 is verified empirically and
-    * is then deterministic).
-    *
-    * Scale shape (10^10 docs):
-    *  - signatures + band hashes are ONE map-side pass per doc (shingle →
-    *    128 permuted mins → 32 band hashes inside a single UDF) — no
-    *    5M-row shingle explode, no 128 separate min-aggregations, no
-    *    shuffle before banding;
-    *  - the only wide ops are the (band, sig) self-join on banded bucket
-    *    ids and the verify joins, all candidate-sized;
-    *  - verification is fully distributed: shingle-hash sets are
-    *    recomputed ONLY for docs appearing in candidates (left-semi join),
-    *    then joined to the pairs (AQE broadcasts when small) and checked
-    *    by a sorted-merge intersect with the size-ratio short-circuit.
-    *    No driver-side collect anywhere.
-    */
   /** (doc_id, band, sig) LSH bucket rows: one pass per doc computes the
     * 128-perm signature AND folds it into `bands` band hashes inside a
     * single UDF — no shingle explode, no 128 separate min-aggregations.
@@ -199,8 +174,17 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: candidates from band-bucket collisions, then
-    * exact-Jaccard verification — output equals [[ngramJaccardPairs]] (the
-    * banding only prunes the pair space; recall = 1-(1-j^r)^bands).
+    * exact-Jaccard verification. With the default `estMargin` the output
+    * EQUALS [[ngramJaccardPairs]] ON THIS CORPUS — an empirical, seeded
+    * (hence permanent) fact, NOT a structural guarantee: stage 2's
+    * signature prescreen is probabilistically lossy in general (a pair
+    * with exact J right at the 0.8 threshold sits only ~3.5σ above the
+    * est-cutoff, ~2e-4 miss probability; the ~1e-12 figure below holds
+    * for this corpus's J ≥ 0.88 true pairs). Callers needing structural
+    * exactness pass `estMargin = threshold`, which disables the prescreen
+    * — banding then only prunes the pair space
+    * (recall = 1-(1-j^r)^bands) and exact verification decides every
+    * candidate.
     *
     * Band geometry is tuned to THIS corpus's measured similarity profile
     * (template-generated texts: background Jaccard p50=0.45, p999=0.67;
@@ -222,11 +206,14 @@ object Dedup {
     *     components / numPerm) ≥ threshold - estMargin. The shuffle
     *     carries bands × 512 B per doc — constant per doc, never per pair —
     *     and the O(bucket²) estimator loop is in-memory integer compares.
-    *     The margin makes the prescreen lossless in practice: est-J of a
-    *     true pair at J=0.8 sits 3.5σ above the 0.675 cutoff (binomial
-    *     σ = √(J(1-J)/128) ≈ 0.035), and this corpus's true pairs (J ≥
-    *     0.88) sit 7σ above — misses ~1e-12, and the seeded determinism
-    *     means the empirically-verified recall 1.0 is then permanent.
+    *     The margin makes the prescreen lossless on this corpus, not in
+    *     general: a worst-case pair exactly at J=0.8 sits only 3.5σ above
+    *     the 0.675 cutoff (binomial σ = √(J(1-J)/128) ≈ 0.035, miss
+    *     ~2e-4), while this corpus's true pairs (J ≥ 0.88) sit 7σ above
+    *     (miss ~1e-12); the seeded determinism means the
+    *     empirically-verified recall 1.0 is then permanent here.
+    *     `estMargin = threshold` disables the prescreen where structural
+    *     exactness matters more than the ~40× candidate reduction.
     *     (Skew note: a degenerate mega-bucket — e.g. identical boilerplate
     *     docs — serializes one task, exactly as a bucket self-join would;
     *     at 10^10 docs cap bucket size and route overflow through exact

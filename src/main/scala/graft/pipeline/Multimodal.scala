@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * payloads with typed metadata, processed batch-at-a-time.
   *
-  * The decode step is STUBBED (no image/audio libraries in this container):
-  * [[StubDecoder]] derives deterministic fake media properties from the
-  * payload bytes. Everything around it — the binary column, the typed
-  * batch schema, `mapPartitions` batch shape (the Scala analogue of
-  * `mapInPandas`: one iterator per partition, library handles amortized
-  * per-batch, not per-row), partition sizing — is real and tested, so
-  * swapping a real codec in changes one function.
+  * The decode step parses REAL container headers where the payload has
+  * them — PNG / JPEG / GIF / WAV dimensions and audio shape via
+  * [[MediaHeaders]] (pure-JVM byte arithmetic; no media library exists in
+  * this container, and none is needed for header fields). Pixel/sample
+  * DECODING (inflating IDAT, IDCT, PCM processing) would need a codec and
+  * remains out of scope — payloads with no recognized magic fall back to
+  * [[StubDecoder]]'s deterministic fake, preserving the pipeline shape
+  * for arbitrary bytes. Everything around the decode — the binary
+  * column, the typed batch schema, `mapPartitions` batch shape (the Scala
+  * analogue of `mapInPandas`: one iterator per partition, library handles
+  * amortized per-batch, not per-row), partition sizing — is real and
+  * tested.
   */
 object Multimodal {
 
@@ -26,8 +31,10 @@ object Multimodal {
       frames: Long
   )
 
-  /** The stub codec: deterministic pure function of the payload.
-    * A real implementation would parse magic bytes + headers here.
+  /** The fallback codec for payloads with no recognized container magic:
+    * deterministic pure function of the payload length. Keeps the
+    * pipeline total over arbitrary bytes (a real pipeline would emit an
+    * `undecodable` lineage column instead).
     */
   object StubDecoder {
     def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
@@ -37,11 +44,18 @@ object Multimodal {
         case 1 => "audio"
         case _ => "video"
       }
-      // fake dimensions/frames derived from the byte length — stands in for
-      // header parsing; replace with a real codec to productionize
       (fmt, 320 + n % 320, 240 + n % 240, n % 24 + 1)
     }
   }
+
+  /** Header-first decode: real container headers when present
+    * ([[MediaHeaders]]), stub fallback otherwise.
+    */
+  def decodePayload(payload: Array[Byte]): (String, Long, Long, Long) =
+    MediaHeaders.parse(payload) match {
+      case Some(m) => (m.fmt, m.width, m.height, m.frames)
+      case None    => StubDecoder.decode(payload)
+    }
 
   /** Attach a binary payload column (here: the utf-8 text bytes — the
     * corpus has no real media; the pipeline shape is the point).
@@ -60,10 +74,31 @@ object Multimodal {
     src.mapPartitions { it =>
       // per-partition decoder init would go here (e.g. native codec handle)
       it.map { case (id, payload) =>
-        val (fmt, w, h, fr) = StubDecoder.decode(payload)
+        val (fmt, w, h, fr) = decodePayload(payload)
         MediaMeta(id, payload.length.toLong, fmt, w, h, fr)
       }
     }
+  }
+
+  /** Real-container metadata over deterministically synthesized payloads:
+    * each doc gets an actual PNG / JPEG / GIF / WAV byte stream
+    * ([[MediaHeaders.buildPayload]], shape derived from doc_id), and the
+    * header PARSER — not a formula — recovers the shape. The DuckDB
+    * oracle recomputes the expected shape from doc_id, so a parser that
+    * misreads an offset or endianness fails the hash check.
+    */
+  def mediaMetaReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = docs.select(col("doc_id")).as[Long]
+    src.mapPartitions { it =>
+      it.map { id =>
+        val payload = MediaHeaders.buildPayload(id)
+        val (fmt, w, h, fr) = decodePayload(payload)
+        MediaMeta(id, payload.length.toLong, fmt, w, h, fr)
+      }
+    }.toDF()
+      .select("doc_id", "n_bytes", "fmt", "width", "height", "frames")
+      .orderBy("doc_id")
   }
 
   /** The oracle-checkable projection of the metadata (everything derivable

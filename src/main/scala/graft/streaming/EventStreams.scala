@@ -64,6 +64,10 @@ object EventStreams {
     * processes everything available, materializes the result, and DROPS
     * the sink's temp view — repeated runs in one session leave no
     * accumulated tables, and deterministic sink names are reuse-safe.
+    * Memory-sink temp views are SESSION-scoped, so concurrent processes
+    * never collide; within one session the deterministic `name` assumes
+    * one runToMemory at a time per name (all call sites are sequential
+    * verify/bench/test drivers).
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete()): DataFrame = {
@@ -77,10 +81,14 @@ object EventStreams {
   }
 
   /** Deterministic staging dir for corpus → file-stream twins: repeated
-    * verify/bench runs overwrite one directory per (tag, source) instead
-    * of accumulating fresh createTempDirectory copies in /tmp.
+    * verify/bench runs WITHIN one process overwrite one directory per
+    * (tag, source) instead of accumulating fresh createTempDirectory
+    * copies in /tmp, while the PID component keeps two concurrent
+    * processes on the same machine from overwriting each other's staged
+    * parquet mid-stream.
     */
   def stagingDir(tag: String, sfDir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-stage-$tag-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+      s"graft-stage-p${ProcessHandle.current().pid()}-$tag-" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 }

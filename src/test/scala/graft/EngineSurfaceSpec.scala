@@ -102,6 +102,32 @@ class EngineSurfaceSpec extends AnyFunSuite {
       "prefilter must prove some successors new and skip the anti-join for them")
   }
 
+  test("robots dim is one row per host even when robots.txt has url variants") {
+    val s = spark
+    import s.implicits._
+    // a host publishing robots.txt under BOTH http and https must not
+    // multiply frontier rows through the robots left joins (the
+    // no-url-fetched-twice invariant); the deterministic winner is the
+    // min robots url — http sorts before https, so the permissive http
+    // rules below apply and the restrictive https variant is ignored
+    val extra = Fixtures.Page(s"https://${Fixtures.host(0)}/robots.txt",
+      new java.sql.Timestamp(0L),
+      "User-agent: *\nDisallow: /list/\nCrawl-delay: 9\n".getBytes("UTF-8"), "", "en")
+    val corpusDup = (docs.flatMap(Fixtures.pagesForDoc) :+ extra).toDF()
+    val plain = new Crawler(spark, corpus, Crawler.Config(respectRobots = true))
+      .crawl(CrawlQueries.listJob, seeds)
+      .filter(col("item").isNotNull)
+      .select("seed_id", "url", "page_no", "pos", "item.title")
+      .collect().map(_.toString).sorted
+    val dup = new Crawler(spark, corpusDup, Crawler.Config(respectRobots = true))
+      .crawl(CrawlQueries.listJob, seeds)
+      .filter(col("item").isNotNull)
+      .select("seed_id", "url", "page_no", "pos", "item.title")
+      .collect().map(_.toString).sorted
+    assert(dup.toSeq == plain.toSeq,
+      "duplicated robots url variants must not change or multiply the crawl output")
+  }
+
   test("ip geolocation helper: QueryIP parity + broadcast enrichment (S12)") {
     import graft.engine.IpGeo
     val s = spark

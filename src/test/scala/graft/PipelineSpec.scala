@@ -84,6 +84,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 7 == 0))
   }
 
+  test("media headers: real PNG/JPEG/GIF/WAV bytes round-trip through the parser") {
+    import graft.pipeline.MediaHeaders
+    for (seed <- Seq(0L, 1L, 2L, 3L, 17L, 254L, 1023L, 99991L)) {
+      val (w, h) = MediaHeaders.shapeFor(seed)
+      val png = MediaHeaders.parsePng(MediaHeaders.buildPng(seed)).get
+      assert((png.fmt, png.width, png.height, png.frames) == ("png", w, h, 1L), s"png seed=$seed")
+      val jpg = MediaHeaders.parseJpeg(MediaHeaders.buildJpeg(seed)).get
+      assert((jpg.fmt, jpg.width, jpg.height) == ("jpeg", w, h), s"jpeg seed=$seed")
+      val gif = MediaHeaders.parseGif(MediaHeaders.buildGif(seed)).get
+      assert((gif.fmt, gif.width, gif.height) == ("gif", w, h), s"gif seed=$seed")
+      val wav = MediaHeaders.parseWav(MediaHeaders.buildWav(seed)).get
+      assert(wav.fmt == "wav", s"wav seed=$seed")
+      assert(wav.width == 8000 + java.lang.Math.floorMod(seed * 11, 40000), s"wav rate seed=$seed")
+      assert(wav.height == 1 + java.lang.Math.floorMod(seed, 2), s"wav channels seed=$seed")
+      assert(wav.frames == 8 + java.lang.Math.floorMod(seed * 3, 64), s"wav samples seed=$seed")
+      // generic dispatch agrees with the per-format parsers
+      assert(MediaHeaders.parse(MediaHeaders.buildPayload(seed)).isDefined)
+    }
+    // PNG IHDR is big-endian: a parser that read LE would get a garbled
+    // width for any non-palindromic dimension — pin one literal
+    val p = MediaHeaders.parsePng(MediaHeaders.buildPng(1L)).get
+    assert((p.width, p.height) == (23L, 29L)) // 16 + 7, 16 + 13
+    // non-media bytes (text, empty, truncated containers) → None → stub
+    assert(MediaHeaders.parse("hello world, plain text".getBytes).isEmpty)
+    assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)
+    assert(MediaHeaders.parse(MediaHeaders.buildPng(5L).take(10)).isEmpty)
+    assert(MediaHeaders.parse(MediaHeaders.buildWav(5L).take(30)).isEmpty)
+    // end-to-end over the docs table: every row decodes via the REAL parser
+    val real = Multimodal.mediaMetaReal(spark, docs).collect()
+    assert(real.length == docs.count())
+    assert(real.forall(r => Set("png", "jpeg", "gif", "wav").contains(r.getString(2))))
+  }
+
   test("near-dup clusters: label propagation finds components, min-id survivor") {
     val s = spark
     import s.implicits._

@@ -37,6 +37,33 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(one(s"SELECT graft_xpath_text('$lit', '//a/@href')") === "/x/y.html")
   }
 
+  test("null inputs propagate as null, never NPE (nullable corpus columns)") {
+    // every registered scalar function over a null html/url/text/robots
+    // column must yield null — a row with missing html is a normal corpus
+    // condition (fetch miss), and the SQL surface must match the
+    // DataFrame path's null guards
+    val calls = Seq(
+      "graft_inner_text(cast(NULL as string))",
+      "graft_css_first_text(cast(NULL as string), 'div')",
+      "graft_css_first_text('<p>x</p>', cast(NULL as string))",
+      "graft_css_all_text(cast(NULL as string), 'div')",
+      "graft_css_attr(cast(NULL as string), 'a', 'href', 'http://h0.test/')",
+      "graft_outer_html(cast(NULL as string), 'b')",
+      "graft_xpath_text(cast(NULL as string), '//a')",
+      "graft_main_text(cast(NULL as string))",
+      "graft_url_host(cast(NULL as string))",
+      "graft_url_canonical(cast(NULL as string))",
+      "graft_url_hash(cast(NULL as string))",
+      "graft_url_resolve(cast(NULL as string), 'x.html')",
+      "graft_url_resolve('http://h0.test/', cast(NULL as string))",
+      "graft_robots_allowed(cast(NULL as string), '*', '/a')",
+      "graft_robots_crawl_delay_ms(cast(NULL as string), '*')",
+      "graft_simhash64(cast(NULL as string))")
+    calls.foreach { c =>
+      assert(one(s"SELECT $c") == null, s"$c must be null on null input")
+    }
+  }
+
   test("url + robots helpers from SQL") {
     assert(one("SELECT graft_url_host('http://h7.test/a/b.html')") === "h7.test")
     assert(one("SELECT graft_url_resolve('http://h0.test/d/p.html', '../x.html')") ===
