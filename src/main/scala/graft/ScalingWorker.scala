@@ -48,7 +48,14 @@ object ScalingWorker {
     })
     val crawler = new graft.engine.Crawler(spark, corpus,
       graft.engine.Crawler.Config(broadcastFrontier = !shj))
-    crawler.crawl(CrawlQueries.listJob, seeds.take(50)).count() // warmup
+    // JIT warmup sized PER EXECUTOR: every executor must push enough pages
+    // through parse/extract to get the hot path C2-compiled BEFORE the
+    // timed window. A 50-seed warmup leaves most executors interpreted
+    // (~100× slower) deep into rep 1 — with constrained compiler threads
+    // (-XX:CICompilerCount=2, the 1-core-node setting the cluster harness
+    // pins) the sick phase lasted minutes and poisoned the measurement.
+    val warmSeeds = math.min(seeds.length, math.max(50, 2000 * cores))
+    crawler.crawl(CrawlQueries.listJob, seeds.take(warmSeeds)).count()
     val times = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       val rows = crawler.crawl(CrawlQueries.listJob, seeds).count()

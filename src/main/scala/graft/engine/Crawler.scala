@@ -373,17 +373,25 @@ final class Crawler(
       // the post-schedule stage; schedule columns are already computed)
       val paced0 = Politeness.schedule(fetchedWithDelay, config.politeness,
         if (robotsHasDelay) Some(col("__robots_delay_ms")) else None)
-      val paced1 =
-        if (politenessActive) paced0.repartition(col("url_hash"))
-        else paced0
       // realPace: honor the schedule in wall-clock (a live fetcher's
       // behavior); off by default — the sandbox corpus join needs no delay
       // emitted_ms carries the wall-clock emission offset (and keeps the
-      // pacing udf alive through column pruning); 0 when pacing is virtual
+      // pacing udf alive through column pruning); 0 when pacing is virtual.
+      // Layouts differ by pacing mode: VIRTUAL pacing repartitions by url
+      // hash so a hot (Zipf) host's parse work spreads evenly (SURVEY.md
+      // §7 hard part 5); WALL-CLOCK pacing must do the opposite — url-hash
+      // spread would make every task sleep toward the hot host's late
+      // schedule — so hosts are bin-packed by delay budget and each bin
+      // runs its schedule in order, waits overlapped with tail-host work
+      // (§7 hard part 6; see Politeness.packForPace).
       val paced =
         if (config.realPace && politenessActive)
-          Politeness.pace(paced1, System.currentTimeMillis())
-        else paced1.withColumn("emitted_ms", lit(0L))
+          Politeness.pace(
+            Politeness.packForPace(paced0, spark.sparkContext.defaultParallelism),
+            System.currentTimeMillis())
+        else if (politenessActive)
+          paced0.repartition(col("url_hash")).withColumn("emitted_ms", lit(0L))
+        else paced0.withColumn("emitted_ms", lit(0L))
 
       // cross-document iframe (P12 completion, `svcimpl.go:638-656`): when
       // the job scopes into an iframe and the matched element carries a src

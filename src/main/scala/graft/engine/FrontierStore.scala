@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import java.nio.charset.StandardCharsets
 
 /** Iceberg-style snapshot layer for the crawl frontier + URL-seen state —
@@ -11,22 +11,59 @@ import java.nio.charset.StandardCharsets
   * per-partition lineage metrics embedded in each manifest (north_star:
   * "snapshot-based checkpoint/resume and per-partition lineage metrics").
   *
+  * All metadata I/O goes through the Hadoop `FileSystem`/`FileContext`
+  * API resolved from the store URI, NOT java.nio — the 10^10-frontier
+  * regime checkpoints to HDFS/S3-style object stores, never a local disk.
+  * `dir` may therefore be any Hadoop-resolvable URI (`file:/...`,
+  * `hdfs://...`, `s3a://...`); a bare local path resolves through the
+  * session's default FS.
+  *
   * Commit protocol (single-writer, crash-safe):
   *   1. write `data/round=N/frontier` + `data/round=N/seen` parquet,
   *   2. write `manifest-N.json.tmp` with the file list + metrics,
-  *   3. ATOMIC_MOVE to `manifest-N.json`, then to `latest.json`.
+  *   3. atomic overwrite-rename to `manifest-N.json`, then to `latest.json`
+  *      (FileContext.rename with Options.Rename.OVERWRITE — the rename
+  *      HDFS guarantees atomic; on S3A the manifest is a single small
+  *      object so the copy+delete is still last-writer-wins consistent).
   * A reader never observes a half-written snapshot; re-running round N is
   * idempotent (the URL-seen anti-join absorbs replays, SURVEY.md §7 #4).
   */
 final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
 
-  Files.createDirectories(Paths.get(dir))
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val root = new Path(dir)
+  private val fs: FileSystem = root.getFileSystem(hadoopConf)
+  private val fc: FileContext =
+    FileContext.getFileContext(fs.getUri, hadoopConf)
+  fs.mkdirs(root)
+  /** Root qualified against the store's FS so relative local paths and
+    * scheme-less URIs land on the same FS the writers use. */
+  private val qroot: Path = fs.makeQualified(root)
+
+  private def writeBytes(p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readBytes(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  private def atomicOverwriteRename(src: Path, dst: Path): Unit =
+    fc.rename(src, dst, Options.Rename.OVERWRITE)
 
   final case class Snapshot(round: Int, frontier: DataFrame, seen: DataFrame)
 
   def commit(round: Int, frontier: DataFrame, seen: DataFrame, metrics: Seq[(String, Long)],
              partitionMetrics: Seq[(Int, Long)] = Nil): Unit = {
-    val base = s"$dir/data/round=$round"
+    val base = new Path(qroot, s"data/round=$round")
     // north-star frontier layout: partitioned by host_bucket, rows sorted
     // by priority within each file → a batch read prunes to eligible
     // buckets and gets priority order from file order (min/max stats)
@@ -36,45 +73,43 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
         .sortWithinPartitions("priority")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("host_bucket")
-        .parquet(s"$base/frontier")
+        .parquet(new Path(base, "frontier").toString)
     } else {
-      frontier.write.mode(SaveMode.Overwrite).parquet(s"$base/frontier")
+      frontier.write.mode(SaveMode.Overwrite).parquet(new Path(base, "frontier").toString)
     }
-    seen.write.mode(SaveMode.Overwrite).parquet(s"$base/seen")
+    seen.write.mode(SaveMode.Overwrite).parquet(new Path(base, "seen").toString)
     // schemas ride the snapshot so a COMPLETED crawl's empty frontier (zero
     // parquet row groups → no inferable schema) still resumes cleanly
-    Files.write(Paths.get(s"$base/frontier.schema.json"),
+    writeBytes(new Path(base, "frontier.schema.json"),
       frontier.schema.json.getBytes(StandardCharsets.UTF_8))
-    Files.write(Paths.get(s"$base/seen.schema.json"),
+    writeBytes(new Path(base, "seen.schema.json"),
       seen.schema.json.getBytes(StandardCharsets.UTF_8))
-    val filesList = listParquet(s"$base/frontier") ++ listParquet(s"$base/seen")
+    val filesList = listParquet(new Path(base, "frontier")) ++ listParquet(new Path(base, "seen"))
     val json = manifestJson(round, filesList, metrics, partitionMetrics)
-    val tmp = Paths.get(s"$dir/manifest-$round.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(s"$dir/manifest-$round.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val tmp2 = Paths.get(s"$dir/latest.json.tmp")
-    Files.write(tmp2, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp2, Paths.get(s"$dir/latest.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(qroot, s"manifest-$round.json.tmp")
+    writeBytes(tmp, json.getBytes(StandardCharsets.UTF_8))
+    atomicOverwriteRename(tmp, new Path(qroot, s"manifest-$round.json"))
+    val tmp2 = new Path(qroot, "latest.json.tmp")
+    writeBytes(tmp2, json.getBytes(StandardCharsets.UTF_8))
+    atomicOverwriteRename(tmp2, new Path(qroot, "latest.json"))
   }
 
   def loadLatest(): Option[Snapshot] = {
-    val latest = Paths.get(s"$dir/latest.json")
-    if (!Files.exists(latest)) None
+    val latest = new Path(qroot, "latest.json")
+    if (!fs.exists(latest)) None
     else {
-      val json = new String(Files.readAllBytes(latest), StandardCharsets.UTF_8)
+      val json = new String(readBytes(latest), StandardCharsets.UTF_8)
       val round = """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
       round.map { r =>
         def readWithSchema(part: String) = {
-          val sp = Paths.get(s"$dir/data/round=$r/$part.schema.json")
+          val sp = new Path(qroot, s"data/round=$r/$part.schema.json")
           val reader =
-            if (Files.exists(sp))
+            if (fs.exists(sp))
               spark.read.schema(org.apache.spark.sql.types.DataType
-                .fromJson(new String(Files.readAllBytes(sp), StandardCharsets.UTF_8))
+                .fromJson(new String(readBytes(sp), StandardCharsets.UTF_8))
                 .asInstanceOf[org.apache.spark.sql.types.StructType])
             else spark.read
-          reader.parquet(s"$dir/data/round=$r/$part")
+          reader.parquet(new Path(qroot, s"data/round=$r/$part").toString)
         }
         Snapshot(r, readWithSchema("frontier"), readWithSchema("seen"))
       }
@@ -82,18 +117,23 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
   }
 
   def manifestRounds(): Seq[Int] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => """manifest-(\d+)\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .sorted.toSeq
+    if (!fs.exists(qroot)) Seq.empty
+    else fs.listStatus(qroot).toSeq
+      .flatMap(st => """manifest-(\d+)\.json$""".r.findFirstMatchIn(st.getPath.getName).map(_.group(1).toInt))
+      .sorted
   }
 
-  private def listParquet(path: String): Seq[String] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(new java.io.File(path))
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+  private def listParquet(path: Path): Seq[String] = {
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val it = fs.listFiles(path, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) out += st.getPath.toString
+      }
+      out.sorted.toSeq
+    }
   }
 
   private def manifestJson(round: Int, files: Seq[String], metrics: Seq[(String, Long)],

@@ -55,6 +55,66 @@ object Politeness {
     } else lit(conf.delayMinMs)
   }
 
+  /** Budget-aware host bin-packing for wall-clock pacing (SURVEY.md §7
+    * hard part 6). A paced task thread's wall time is governed by the
+    * LATEST `scheduled_ms` it must sleep toward, so placement decides
+    * utilization: hashing rows by url (the virtual-pace layout) spreads a
+    * hot host's late-scheduled rows over every partition and each of the
+    * P tasks ends up sleeping ~the hot host's whole span — P× the
+    * mandated politeness wait in wasted task-seconds. Instead:
+    *
+    *   1. per-host delay budget = the host's schedule span
+    *      (`max(scheduled_ms)` — what its bin must spend in wall-clock),
+    *   2. the heavy head (top `4*bins` hosts by budget, a BOUNDED driver
+    *      collect independent of corpus size) is packed exactly with
+    *      greedy LPT; the long tail (budgets ~0) hashes uniformly,
+    *   3. rows land on their bin's partition EXACTLY (identity
+    *      partitioner — `repartition(col)` would hash bin ids and merge
+    *      bins), sorted by `scheduled_ms` within the partition.
+    *
+    * The sort makes each thread's absolute-time sleeps monotone: it
+    * sleeps only while AHEAD of schedule, and every gap in a hot host's
+    * schedule is filled with whatever tail-host rows hashed into the bin.
+    * Bin wall = max(own span, own work) instead of span + work — the
+    * token-bucket waits overlap other hosts' work.
+    *
+    * The RDD identity-partition round-trip breaks whole-stage codegen at
+    * this boundary — acceptable by construction: this path only runs
+    * under `realPace`, where wall time is sleep-dominated by mandate.
+    */
+  def packForPace(df: DataFrame, bins: Int): DataFrame = {
+    require(bins > 0, "packForPace needs at least one bin")
+    val spark = df.sparkSession
+    val budgets = df.groupBy("host").agg(max("scheduled_ms").as("__budget"))
+    val heavy = budgets.orderBy(col("__budget").desc, col("host")).limit(4 * bins).collect()
+    val loads = new Array[Long](bins)
+    val assign = heavy.map { r =>
+      var best = 0
+      var i = 1
+      while (i < bins) { if (loads(i) < loads(best)) best = i; i += 1 }
+      loads(best) += math.max(r.getLong(1), 1L)
+      r.getString(0) -> best
+    }.toMap
+    val assignB = spark.sparkContext.broadcast(assign)
+    val binOf = udf { (host: String) =>
+      val h = if (host == null) "" else host
+      assignB.value.getOrElse(h, math.floorMod(h.hashCode, bins))
+    }
+    val withBin = df.withColumn("__bin", binOf(col("host")))
+    val schema = withBin.schema
+    val binIdx = schema.fieldIndex("__bin")
+    val placed = withBin.rdd
+      .map(r => (r.getInt(binIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = bins
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(placed, schema)
+      .sortWithinPartitions("scheduled_ms", "host", "url")
+      .drop("__bin")
+  }
+
   /** Real pacing: sleep each row's task thread until crawl-round start +
     * `scheduled_ms` (the moment a live fetcher would issue the request).
     * The schedule itself is the virtual-clock contract used by tests and

@@ -37,6 +37,17 @@ object GraftFunctions {
     if (args.exists(_ == null)) null.asInstanceOf[A] else body
 
   def registerAll(spark: SparkSession): Unit = {
+    registerUdfs(spark)
+    registerNative(spark)
+  }
+
+  /** The Scala-UDF half of the surface (everything except the native
+    * codegen expressions). Split out so [[GraftSparkExtensions]] can
+    * invoke it per-session from the analyzer's rule-builder callback
+    * while injecting the native expressions through `injectFunction`.
+    * Idempotent — re-registration overwrites with identical bindings.
+    */
+  def registerUdfs(spark: SparkSession): Unit = {
     val u = spark.udf
 
     // --- DOM extraction primitives (P2-P5, P9-P10 of SURVEY.md §2.2) ---
@@ -76,9 +87,12 @@ object GraftFunctions {
     // --- pipeline sketches ---
     u.register("graft_simhash64", (text: String) =>
       nn(text)(java.lang.Long.valueOf(Dedup.simhash64Value(text))))
+  }
 
-    // --- native codegen expressions ---
+  /** Native codegen expressions, registered through the FunctionRegistry
+    * so SQL calls stay inside whole-stage codegen.
+    */
+  def registerNative(spark: SparkSession): Unit =
     org.apache.spark.sql.GraftSqlBridge.registerExpression(spark, "vec_dot",
       exprs => VecDot(exprs(0), exprs(1)))
-  }
 }

@@ -224,4 +224,22 @@ class EngineSurfaceSpec extends AnyFunSuite {
     assert((resumedRows ++ firstRun).sorted.toSeq == full.toSeq,
       "resumed crawl + round-1 rows must equal the uninterrupted crawl (no re-fetch, no loss)")
   }
+
+  test("frontier store round-trips through an explicit file: Hadoop URI") {
+    // the store must resolve its dir through the Hadoop FileSystem API
+    // (HDFS/S3-style checkpointing), not java.nio — an explicit `file:`
+    // URI exercises the scheme-resolution path a bare local path skips
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-fstore-uri").toString
+    val c = new Crawler(spark, corpus, Crawler.Config(maxRounds = 1, checkpointDir = Some(tmp)))
+    c.crawl(CrawlQueries.listJob, seeds).count()
+    val store = new graft.engine.FrontierStore(tmp)(spark)
+    assert(store.manifestRounds() == Seq(1))
+    val snap = store.loadLatest().get
+    assert(snap.round == 1)
+    assert(snap.frontier.count() > 0 && snap.seen.count() > 0)
+    // second commit overwrite-renames latest.json atomically via FileContext
+    store.commit(2, snap.frontier, snap.seen, Seq("rows" -> snap.seen.count()))
+    assert(store.loadLatest().get.round == 2)
+    assert(store.manifestRounds() == Seq(1, 2))
+  }
 }

@@ -99,4 +99,60 @@ class SkewSpec extends AnyFunSuite {
     assert(balanced < hotDocs.size / 2,
       s"url_hash repartition must spread the hot host (max=$balanced)")
   }
+
+  test("realPace bin-packing: one hot host, slot utilization >= 80%") {
+    // SURVEY.md §7 hard part 6: under wall-clock pacing, hosts are packed
+    // into bins by delay budget and each bin runs its schedule in
+    // scheduled_ms order, so the hot host's mandated waits are filled with
+    // tail-host work instead of idling every slot.
+    //   hot host: 25 fetches 60ms apart → 1.44s span (the delay budget)
+    //   tail: 96 hosts × 8 rows, no delay — pure work
+    //   per-row simulated fetch/parse work: 8ms spin
+    // ideal makespan ≈ max(hot span, total work / bins); the old url-hash
+    // layout would put late hot targets in every partition (each task
+    // sleeps ~the whole span BEFORE its work → utilization ~50%).
+    val s = spark
+    import s.implicits._
+    val bins = 4
+    val workMsPerRow = 8L
+    val hot = (0 until 25).map(i => (s"http://hot.test/p$i.html", "hot.test", i * 60L))
+    val tail = for (h <- 0 until 96; i <- 0 until 8)
+      yield (s"http://t$h.test/p$i.html", s"t$h.test", 0L)
+    val df = (hot ++ tail).toDF("url", "host", "scheduled_ms")
+    val packed = Politeness.packForPace(df, bins)
+    assert(packed.rdd.getNumPartitions == bins)
+    val t0 = System.currentTimeMillis()
+    val paced = Politeness.pace(packed, t0)
+    val stats = paced.select("host", "scheduled_ms", "emitted_ms").rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val start = System.currentTimeMillis()
+        var busy = 0L
+        var rows = 0L
+        var lateHot = 0L
+        it.foreach { r =>
+          val w0 = System.nanoTime()
+          while (System.nanoTime() - w0 < workMsPerRow * 1000000L) {} // simulated fetch/parse
+          busy += (System.nanoTime() - w0) / 1000000L
+          rows += 1
+          if (r.getString(0) == "hot.test" && r.getLong(2) < r.getLong(1)) lateHot += 1
+        }
+        Iterator((pid, System.currentTimeMillis() - start, busy, rows, lateHot))
+      }.collect()
+    val makespanMs = System.currentTimeMillis() - t0
+    val totalBusy = stats.map(_._3).sum.toDouble
+    val totalWall = stats.map(_._2).sum.toDouble
+    // slot utilization over the tasks' own walls — the overlap property
+    // itself, independent of session-startup/scheduling noise. The url-hash
+    // layout lands ~0.5 here (every task sleeps the span BEFORE its work);
+    // packing + scheduled-order keeps threads busy through the waits.
+    val utilization = totalBusy / totalWall
+    assert(stats.map(_._4).sum == hot.size + tail.size)
+    assert(stats.map(_._5).sum == 0L, "hot host must never emit before its schedule")
+    // hot span 1440ms; work 793*8 = 6.3s over 4 bins → ideal ~1.7s + startup
+    assert(makespanMs <= 4000,
+      s"packed makespan must stay near max(span, work/bins) (took ${makespanMs}ms)")
+    assert(utilization >= 0.8,
+      f"waits must overlap tail work: utilization=$utilization%.2f makespan=${makespanMs}ms " +
+        stats.sortBy(_._1).map(t => s"p${t._1}:wall=${t._2}ms,busy=${t._3}ms").mkString(" "))
+  }
 }

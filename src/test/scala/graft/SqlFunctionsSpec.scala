@@ -104,4 +104,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(1).startsWith("Doc ")))
     spark.catalog.dropTempView("pages_v")
   }
+
+  test("spark.sql.extensions conf alone installs the whole surface (no code)") {
+    // spark.sql.extensions is a STATIC conf — it can only apply to a
+    // freshly-created SparkContext, so the spark-submit path is exercised
+    // in a forked JVM whose only graft hookup is the conf
+    // (ExtensionsConfSmoke). Tests fork (build.sbt), so java.class.path
+    // here is the real test classpath.
+    val javaHome = sys.props("java.home")
+    val cp = sys.props("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(s"$javaHome/bin/java", "-Xmx2g",
+      "-Dspark.sql.session.timeZone=UTC") ++ addOpens ++
+      Seq("-cp", cp, "graft.ExtensionsConfSmoke")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    val rc = proc.waitFor()
+    assert(rc == 0 && out.contains("EXTENSIONS_CONF_SMOKE_OK"),
+      s"conf-only extensions smoke failed (rc=$rc):\n${out.takeRight(30).mkString("\n")}")
+  }
 }
