@@ -56,7 +56,11 @@ object ScalingWorker {
     // pins) the sick phase lasted minutes and poisoned the measurement.
     val warmSeeds = math.min(seeds.length, math.max(50, 2000 * cores))
     crawler.crawl(CrawlQueries.listJob, seeds.take(warmSeeds)).count()
-    val times = (1 to 2).map { _ =>
+    // best-of-N: the min over reps is the engine's attainable rate; on a
+    // box with intermittent host-side stalls (BASELINE.md round 4) more
+    // reps reject more noise. Default 2 (the historical protocol).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       val rows = crawler.crawl(CrawlQueries.listJob, seeds).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -90,9 +94,21 @@ object ScalingBenchForked {
 
     val xmx = sys.env.getOrElse("SPARK_GRAFT_XMX", "24g")
     val gc = sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")
+    // SPARK_GRAFT_PRETOUCH=1: fault the whole heap in BEFORE the timed
+    // window (-Xms=-Xmx -XX:+AlwaysPreTouch). On a sandbox whose
+    // first-touch page faults go through a slow host-side memory backend
+    // (measured ~100× a native fault under concurrency, BASELINE.md round
+    // 4), an untouched heap makes the timed reps measure the sandbox, not
+    // the engine; pre-touching moves that cost to JVM startup, outside
+    // the measurement. A real cluster sets the same flags on executors
+    // for the same reason (fault/THP cost at first allocation).
+    val preTouch =
+      if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
+        Seq(s"-Xms$xmx", "-XX:+AlwaysPreTouch")
+      else Nil
 
     def runOnce(cores: Int): (Long, Double) = {
-      val cmd = Seq(s"$javaHome/bin/java", s"-Xmx$xmx", s"-XX:+$gc",
+      val cmd = Seq(s"$javaHome/bin/java", s"-Xmx$xmx", s"-XX:+$gc") ++ preTouch ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
         addOpens ++ Seq("-cp", cp, "graft.ScalingWorker", cores.toString, sfDir, mult.toString)
       val pb = new ProcessBuilder(cmd: _*)

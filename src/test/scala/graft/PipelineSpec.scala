@@ -238,4 +238,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2("http://h0.test/c") == 6000L)
     assert(out2("http://h1.test/a") == 0L)
   }
+
+  test("ann lsh recall-vs-(bits, tables) curve at bench scale (sf0.1)") {
+    // pins the probabilistic contract (recall = 1-(1-p^b)^L, Charikar SRP)
+    // at the scale the bench runs, not just the 500-vector law corpus:
+    //   - more tables at fixed bits → recall rises (union of buckets),
+    //   - more bits at fixed tables → recall falls (narrower buckets —
+    //     the selectivity/recall trade the operator exists to expose).
+    // Deterministic: seeded hyperplanes, fixed corpus.
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size == 60)
+    def recallAt(bits: Int, tables: Int): Double = {
+      val got = Similarity.lshTopK(emb01, bits = bits, tables = tables).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      bf.count(got.contains).toDouble / bf.size
+    }
+    val r41 = recallAt(4, 1)
+    val r44 = recallAt(4, 4)
+    val r48 = recallAt(4, 8)
+    val r88 = recallAt(8, 8)
+    val curve = s"r(4,1)=$r41 r(4,4)=$r44 r(4,8)=$r48 r(8,8)=$r88"
+    assert(r44 >= r41 && r48 >= r44, s"recall must rise with tables: $curve")
+    assert(r48 >= 0.5, s"bench config (4 bits, 8 tables) floor: $curve")
+    assert(r88 <= r48 + 0.02, s"recall must not rise with bits at fixed tables: $curve")
+    assert(r48 - r41 >= 0.1, s"the table axis must be load-bearing, not flat: $curve")
+  }
 }

@@ -6,6 +6,27 @@
 # cluster" the north rule asks for (one memory bus is still shared; see
 # BASELINE.md for the bandwidth-ceiling analysis).
 #
+# Executor JVM flags (round-4 revision): just ParallelGC, with default
+# GC/JIT thread counts. The round-2 pinning (-XX:ParallelGCThreads=2
+# -XX:CICompilerCount=2, meant to emulate a 1-core node's thread budget)
+# is a measured poison on this workload: with 2 compiler threads the C2
+# queue backs up and extraction runs interpreted (~100× slower) for
+# minutes, the interpreted path's allocation rate then drowns 2 GC
+# threads (12.7 s young GCs observed), and the controlled flag matrix
+# (BASELINE.md round 4) showed 10.7 s → 32.3 s from CICompilerCount=2
+# alone and → 119.6 s with both pins at 4 executors / 60k pages. A real
+# cluster node JVM sizes these pools from the node's cores; pinning them
+# under a 32-core-visible JVM models nothing real.
+#
+# PREFLIGHT: multi-JVM runs on this sandbox are only meaningful when the
+# box's first-touch page-fault path is healthy. Round 4 caught the VM in
+# a state where CONCURRENT first-touch faults across several JVMs cost
+# ~1 ms each (~100× normal; executor /proc stime 4-100× utime, every jar
+# equally affected, single-JVM local[4] unaffected) — any local-cluster
+# number taken in that state is an artifact of the sandbox's memory
+# backend, not of the code. The preflight measures fault throughput with
+# 4 concurrent 1 GiB touchers and refuses to certify when it is degraded.
+#
 # Usage: tools/scaling_cluster.sh [N] [MULT] [MEM_MB]
 #   N executors vs 4N executors, 1 core each; identical input.
 # Requires: sbt package has produced target/scala-2.13/rabidaspark_*.jar
@@ -18,6 +39,26 @@ MEM="${3:-12288}"
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 JAR=$(ls target/scala-2.13/rabidaspark_*.jar | head -1)
 
+echo "== preflight: concurrent first-touch page-fault throughput =="
+python3 - <<'EOF'
+import multiprocessing as mp, time, sys
+def touch(_):
+    n = 1 << 30
+    t0 = time.time()
+    b = bytearray(n)          # zero-fill touches every page
+    return n / 1048576 / (time.time() - t0)
+with mp.Pool(4) as p:
+    rates = p.map(touch, range(4))
+per = sum(rates) / len(rates)
+print(f"   4x concurrent 1GiB first-touch: {per:.0f} MB/s per process")
+if per < 300:
+    print("   PREFLIGHT FAIL: fault path degraded (>~3us/page under "
+          "concurrency); multi-JVM numbers would measure the sandbox's "
+          "memory backend, not the engine. Use graft.ScalingBenchForked "
+          "(single-JVM two-parallelism protocol) instead.", file=sys.stderr)
+    sys.exit(3)
+EOF
+
 run_one() { # $1 = executor count
   local execs="$1"
   local cores=$((execs))  # 1 core per executor
@@ -27,7 +68,7 @@ run_one() { # $1 = executor count
     --conf spark.driver.memory=8g \
     --conf spark.ui.enabled=false \
     --conf spark.sql.session.timeZone=UTC \
-    --conf "spark.executor.extraJavaOptions=-XX:+UseParallelGC -XX:ParallelGCThreads=2 -XX:CICompilerCount=2" \
+    --conf "spark.executor.extraJavaOptions=-XX:+UseParallelGC" \
     --class graft.ScalingWorker \
     "$JAR" "$cores" "$SF_DIR" "$MULT" 2>/dev/null \
     | grep SCALING_RESULT
