@@ -422,14 +422,22 @@ final class Crawler(
       val x = CrawlExtractExpression(col("html"), col("url"), col("page_no"), col("cursor"),
         job, mode, scroll, iframeHtml = col("__iframe_html"),
         timeBudgetMs = config.timeBudgetMs)
-      // checkpoint BEFORE projecting struct fields: guarantees exactly ONE
-      // extraction (one HTML parse) per page — projecting fields first
-      // would let CollapseProject clone the expression per field.
-      val materialized = withFrame
+      // materialization boundary BEFORE projecting struct fields:
+      // guarantees exactly ONE extraction (one HTML parse) per page —
+      // projecting fields first would let CollapseProject clone the
+      // expression per field. LAZY boundary, not an eager checkpoint (r4
+      // serial-floor lever): the round's frontier checkpoint job below
+      // reads the successor plan THROUGH this persisted RDD and fills it
+      // in the same pass, so extraction + successor-gen + loop-control
+      // count cost ONE driver job per round instead of two (BASELINE.md
+      // round 2 measured one job fewer per round lifting 1v4 scaling
+      // 0.59→0.64). B.lazyCache (not Dataset.persist — see its scaladoc
+      // for the CacheManager-leak and lineage rationale) is as strong a
+      // projection barrier as the checkpoint was.
+      val materialized = B.lazyCache(withFrame
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),
-          col("emitted_ms"), col("ua"), col("cookies"), col("cookie_jar"), x.as("x"))
-        .localCheckpoint(true)
+          col("emitted_ms"), col("ua"), col("cookies"), col("cookie_jar"), x.as("x")))
       val pages = materialized
         .select(col("seed_id"), col("url"), col("url_hash"), col("host"), col("host_bucket"),
           col("priority"), col("page_no"), col("cursor"), col("scheduled_ms"), col("fetch_seq"),

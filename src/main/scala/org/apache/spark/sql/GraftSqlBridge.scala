@@ -38,6 +38,36 @@ object GraftSqlBridge {
     (classic.Dataset.ofRows(spark, logical), n)
   }
 
+  /** LAZY materialization boundary with checkpoint-like lifecycle.
+    * Compiles the plan to an RDD, marks it persisted (MEMORY_AND_DISK) and
+    * wraps it back into a DataFrame via the same `LogicalRDD.fromDataset`
+    * factory as [[localCheckpointWithCount]] — but WITHOUT running a job:
+    * the first downstream action (the crawler's per-round frontier
+    * checkpoint) computes and caches it in the same pass.
+    *
+    * Deliberately NOT `Dataset.persist`: that registers the plan in the
+    * session's CacheManager, which holds a STRONG reference until an
+    * explicit unpersist — per-round caches would accumulate for the life
+    * of the session (measured: a 3-rep bench suite degraded 21 s → 59 s
+    * from the pile-up), and identical later plans would silently read the
+    * stale entry. An RDD-level persist has neither problem: the
+    * ContextCleaner unpersists blocks when the RDD becomes unreachable
+    * (exactly the old eager-localCheckpoint lifecycle), and there is no
+    * plan-fragment cache matching. Unlike a lazy `localCheckpoint` it
+    * also keeps lineage, so an evicted block recomputes per-partition
+    * instead of failing the job (and there is no post-action
+    * missing-block scan to race executor registration under multi-JVM).
+    */
+  def lazyCache(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val logical = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = false)
+    classic.Dataset.ofRows(spark, logical)
+  }
+
   /** Register a NATIVE Catalyst expression under a SQL-callable name (the
     * codegen path — unlike `spark.udf.register`, calls from SQL stay
     * inside whole-stage codegen).
