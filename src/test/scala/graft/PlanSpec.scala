@@ -131,4 +131,47 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0)
     assert(plan.contains("xxhash64") && plan.contains("md5"))
   }
+
+  test("crawl loop: ONE driver job per round (serial-floor contract)") {
+    // The round-4 lever: extraction materializes through a LAZY persisted
+    // RDD that the round's fused frontier-checkpoint+count job fills in
+    // the same pass. Regression guard: a crawl must submit NO standalone
+    // `localCheckpoint` jobs (the old per-round eager extraction
+    // checkpoint) and exactly rounds+1 `localCheckpointWithCount` jobs
+    // (the seed frontier plus one per round).
+    val corpus = graft.corpus.Fixtures.corpus(spark, sf)
+    val sites = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        // a job's call site = its result stage's name (the stage with the
+        // highest id); callSite.short is not propagated to the listener
+        // under SQL execution in Spark 4
+        sites += js.stageInfos.maxByOption(_.stageId).map(_.name).getOrElse("")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val crawler = new graft.engine.Crawler(spark, corpus)
+      val seeds = Seq("d0", "d1").map(d =>
+        (d, s"http://h${d.drop(1)}.test/$d/list/p1.html"))
+      val rows = crawler.crawl(CrawlQueries.listJob, seeds).count()
+      assert(rows > 0)
+      // listener events are posted asynchronously; poll until the job
+      // stream quiesces (bounded)
+      var last = -1
+      var spins = 0
+      while (sites.size != last && spins < 40) {
+        last = sites.size; spins += 1; Thread.sleep(100)
+      }
+      val checkpointJobs = sites.count(_.contains("localCheckpoint at"))
+      val fusedJobs = sites.count(_.contains("localCheckpointWithCount"))
+      assert(checkpointJobs == 0,
+        s"per-round eager extraction checkpoint is back ($checkpointJobs jobs): $sites")
+      // 3 list pages per seed → 3 rounds; +1 for the seed frontier. The
+      // LAST round's successor frame is empty, so its fused job has zero
+      // partitions and no stages (it appears as a nameless job) — hence 3
+      // named fused jobs, not 4.
+      assert(fusedJobs == 3,
+        s"expected 3 named fused checkpoint+count jobs (seeds + 2 non-empty rounds), got $fusedJobs: $sites")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
