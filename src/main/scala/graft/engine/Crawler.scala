@@ -329,8 +329,14 @@ final class Crawler(
       // frontier discipline; default is the full lockstep BFS round
       val (batch0, remainder, batchCount) = config.batchLimit match {
         case Some(n) if frontierCount > n =>
-          val b = frontier.orderBy(col("priority"), col("host_bucket")).limit(n.toInt)
-            .localCheckpoint(true)
+          // lazy boundary, not an eager checkpoint (same r4 serial-floor
+          // lever as extraction): the fetch join's broadcast build is the
+          // round's first consumer and fills the persisted RDD; the
+          // remainder anti-join and the seen union then read the blocks.
+          // The priority-frontier regime thus pays ONE driver job per
+          // round too, not two.
+          val b = B.lazyCache(
+            frontier.orderBy(col("priority"), col("host_bucket")).limit(n.toInt))
           val rest = frontier.join(b.select("seed_id", "url"), Seq("seed_id", "url"), "left_anti")
           (b, rest, n)
         case _ => (frontier, spark.emptyDataFrame, frontierCount)
