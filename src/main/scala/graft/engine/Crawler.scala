@@ -224,7 +224,7 @@ final class Crawler(
     // pmod(url_hash, hostBuckets) shard. Shards are built DISTRIBUTEDLY
     // (aggregateByKey: per-partition inserts, compact blob merge) and —
     // r4 — RESIDE ON THE EXECUTORS between rounds as a hash-partitioned,
-    // locally-checkpointed RDD[(shard, filter)]: no driver collect, no
+    // locally-checkpointed RDD[(shard, (cuckoo, exact))]: no driver collect, no
     // per-round shard-map broadcast, so driver memory and per-round cost
     // stay flat as the seen set grows to 10^8+ urls. Only the round's new
     // urls are merged in (narrow fullOuterJoin — both sides share the
@@ -233,9 +233,18 @@ final class Crawler(
     // false-negative. The merge itself is LAZY: it materializes inside the
     // same job that checkpoints the round's frontier, adding zero driver
     // jobs per round.
+    // r4b: each shard pairs the cuckoo SKETCH (2 B/url, cache-friendly
+    // probe) with an EXACT SeenShard ((seed-hash, url-hash) pair set,
+    // 16 B/url — ~160 GB fleet-wide at 10^10 urls). The exact shard
+    // REPLACES the per-round residue anti-join, which had to shuffle the
+    // ENTIRE cumulative seen table every round (a union tree carries no
+    // stable partitioning) — the last per-round O(|seen|) term in the
+    // loop. Probe order: bloom (broadcast, no shuffle) → cuckoo (fast
+    // reject for definitely-new) → exact shard (authoritative), all after
+    // ONE exchange by shard.
     val cuckooPartitioner = new org.apache.spark.HashPartitioner(config.hostBuckets)
-    var cuckooRdd: Option[org.apache.spark.rdd.RDD[(Int, CuckooFilter)]] = None
-    var cuckooPrev: Option[org.apache.spark.rdd.RDD[(Int, CuckooFilter)]] = None
+    var cuckooRdd: Option[org.apache.spark.rdd.RDD[(Int, (CuckooFilter, SeenShard))]] = None
+    var cuckooPrev: Option[org.apache.spark.rdd.RDD[(Int, (CuckooFilter, SeenShard))]] = None
     var cuckooPrimed = false
 
     // incremental broadcast bloom: rebuilding from the FULL seen set every
@@ -250,20 +259,23 @@ final class Crawler(
     def insertIntoCuckoo(df: DataFrame): Unit = {
       val nShards = config.hostBuckets
       val cap = config.cuckooCapacityPerShard
+      def freshPair() = (CuckooFilter.create(cap), SeenShard.create())
       val delta = df
-        .select(pmod(col("url_hash"), lit(nShards)).cast("int").as("shard"), col("url_hash"))
-        .rdd.map(r => (r.getInt(0), r.getLong(1)))
-        .aggregateByKey(CuckooFilter.create(cap), cuckooPartitioner)(
-          (f, h) => { f.insert(h); f }, (a, b) => a.merge(b))
+        .select(pmod(col("url_hash"), lit(nShards)).cast("int").as("shard"),
+          col("seed_id"), col("url_hash"))
+        .rdd.map(r => (r.getInt(0), (SeenShard.seedHash(r.getString(1)), r.getLong(2))))
+        .aggregateByKey(freshPair(), cuckooPartitioner)(
+          { case ((f, e), (sh, uh)) => f.insert(uh); e.insert(sh, uh); (f, e) },
+          { case ((fa, ea), (fb, eb)) => (fa.merge(fb), ea.merge(eb)) })
       val merged = cuckooRdd match {
         case None => delta
         case Some(prev) =>
           // same partitioner on both sides → narrow join, shard-local merge
           prev.fullOuterJoin(delta, cuckooPartitioner).mapValues {
-            case (Some(a), Some(b)) => a.merge(b)
+            case (Some(a), Some(b)) => (a._1.merge(b._1), a._2.merge(b._2))
             case (Some(a), None)    => a
             case (None, Some(b))    => b
-            case (None, None)       => CuckooFilter.create(cap)
+            case (None, None)       => freshPair()
           }
       }
       merged.setName(s"graft-cuckoo-shards")
@@ -275,37 +287,35 @@ final class Crawler(
       cuckooPrev = cuckooRdd
       cuckooRdd = Some(merged)
     }
-    // probe rows map-side against the co-partitioned shard filters:
-    // (might-be-seen rows, definitely-new rows). One exchange by shard —
-    // the might rows were headed to the anti-join shuffle anyway, the
-    // definitely-new rows skip it entirely.
-    var cuckooProbePersisted: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-    def cuckooProbeSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    // probe rows map-side against the co-partitioned shards, ONE exchange
+    // by shard: cuckoo first (a definitely-new verdict counts toward the
+    // sketch-pruning metric, as before), then the EXACT shard decides the
+    // cuckoo-maybes — so the round needs NO residue anti-join against the
+    // cumulative seen table at all. Returns the surviving (not-seen) rows.
+    def cuckooProbeNew(df: DataFrame): DataFrame = {
       val nShards = config.hostBuckets
       val schema = df.schema
       val hIdx = schema.fieldIndex("url_hash")
+      val sIdx = schema.fieldIndex("seed_id")
       val acc = prefilterSkipped
       val shards = cuckooRdd.get
-      val flagged = df.rdd
+      val fresh = df.rdd
         .map(r => ((((r.getLong(hIdx) % nShards) + nShards) % nShards).toInt, r))
         .partitionBy(cuckooPartitioner)
         .zipPartitions(shards, preservesPartitioning = false) { (rows, fs) =>
           val filters = fs.toMap
-          rows.map { case (shard, row) =>
-            val might = filters.get(shard).exists(_.contains(row.getLong(hIdx)))
-            if (!might) acc.add(1L)
-            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ might)
+          rows.flatMap { case (shard, row) =>
+            filters.get(shard) match {
+              case None => { acc.add(1L); Some(row) } // empty shard: new
+              case Some((cuckoo, exact)) =>
+                val uh = row.getLong(hIdx)
+                if (!cuckoo.contains(uh)) { acc.add(1L); Some(row) }
+                else if (!exact.contains(SeenShard.seedHash(row.getString(sIdx)), uh)) Some(row)
+                else None // exactly seen — drop
+            }
           }
         }
-        // lazy persist: the two filter branches below share one probe pass
-        // (and the accumulator fires once per row) without an extra job;
-        // unpersisted after the round's frontier checkpoint materializes it
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cuckooProbePersisted = Some(flagged)
-      val fdf = spark.createDataFrame(flagged,
-        schema.add("__cuckoo_might", org.apache.spark.sql.types.BooleanType))
-      (fdf.filter(col("__cuckoo_might")).drop("__cuckoo_might"),
-        fdf.filter(!col("__cuckoo_might")).drop("__cuckoo_might"))
+      spark.createDataFrame(fresh, schema)
     }
 
     // driver-side running size of the seen set — avoids a count() job per
@@ -501,25 +511,42 @@ final class Crawler(
         .dropDuplicates("seed_id", "url")
       val succHashed = enrich(robotsFilter(rawSucc), col("succ_priority")).drop("succ_priority")
 
-      // URL-seen sketch prefilter before the exact anti-join once seen is
-      // large: the broadcast bloom (global, fixed-capacity) first, then the
-      // executor-resident partitioned cuckoo shards (per url-hash shard,
-      // map-side probe after one exchange) — a successor pays the
-      // anti-join shuffle only if EVERY active sketch says "maybe seen".
-      // Neither sketch can false-negative, so definitely-new rows skip the
-      // shuffle with zero loss; the anti-join stays the authority on the
-      // residue.
+      // URL-seen dedup: the broadcast bloom (global, fixed-capacity,
+      // NO shuffle) first splits off definitely-new successors; the
+      // bloom-maybes then go through the executor-resident shards —
+      // cuckoo sketch fast-reject, exact (seed-hash, url-hash) pair set
+      // as the authority — after ONE exchange by url-hash shard. The
+      // exact shards make a per-round anti-join against the cumulative
+      // seen table unnecessary (that join re-shuffled ALL of seen every
+      // round: a union tree carries no stable partitioning — the last
+      // per-round O(|seen|) term in the loop). Below the activation
+      // thresholds the plain anti-join remains (at small seen sizes it
+      // is cheaper than maintaining the shard structures).
       val bloomOpt = bloomFilter.map(spark.sparkContext.broadcast(_))
       val cuckooOn = cuckooPrimed && cuckooRdd.nonEmpty
       val preFiltered =
-        if (bloomOpt.isEmpty && !cuckooOn)
-          succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
-        else {
+        if (!cuckooOn) {
+          val base = bloomOpt match {
+            case Some(bc) =>
+              val acc = prefilterSkipped
+              // reject branch counts; each bloom-skipped row increments
+              // the accumulator exactly once
+              val rejectCounted = udf { (h: Long) =>
+                val might = bc.value.mightContain(h)
+                if (!might) acc.add(1L)
+                might
+              }
+              val quiet = udf((h: Long) => bc.value.mightContain(h))
+              val bloomNew = succHashed.filter(!rejectCounted(col("url_hash")))
+              bloomNew.unionByName(
+                succHashed.filter(quiet(col("url_hash")))
+                  .join(seen, Seq("seed_id", "url_hash"), "left_anti"))
+            case None =>
+              succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+          }
+          base
+        } else {
           val acc = prefilterSkipped
-          // stage 1: bloom (broadcast, no shuffle) splits off its rejects.
-          // The reject branch's udf counts; the pass branch's doesn't —
-          // each skipped row increments the accumulator exactly once even
-          // though the two branches scan succHashed independently.
           val (bloomNew, bloomMaybe) = bloomOpt match {
             case Some(bc) =>
               val rejectCounted = udf { (h: Long) =>
@@ -532,14 +559,8 @@ final class Crawler(
                 succHashed.filter(quiet(col("url_hash"))))
             case None => (spark.emptyDataFrame, succHashed)
           }
-          // stage 2: cuckoo shard probe (executor-resident, shard-local)
-          // splits the bloom survivors; its rejects also skip the anti-join
-          val (maybeSeen, cuckooNew) =
-            if (cuckooOn) cuckooProbeSplit(bloomMaybe)
-            else (bloomMaybe, spark.emptyDataFrame)
-          val residue = maybeSeen.join(seen, Seq("seed_id", "url_hash"), "left_anti")
-          Seq(bloomNew, cuckooNew).filter(_.columns.nonEmpty)
-            .foldLeft(residue)(_ unionByName _)
+          val shardNew = cuckooProbeNew(bloomMaybe)
+          if (bloomNew.columns.nonEmpty) shardNew.unionByName(bloomNew) else shardNew
         }
 
       val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
@@ -556,13 +577,11 @@ final class Crawler(
       frontier = chk
       frontierCount = n
 
-      // the checkpoint job above materialized this round's cuckoo merge
+      // the checkpoint job above materialized this round's shard merge
       // and probe (they feed the frontier plan) — release the superseded
-      // shard generation and the round's probe cache
+      // shard generation
       cuckooPrev.foreach(_.unpersist(blocking = false))
       cuckooPrev = None
-      cuckooProbePersisted.foreach(_.unpersist(blocking = false))
-      cuckooProbePersisted = None
 
       store.foreach { st =>
         // capture this round's immutable frames/counters for the async task

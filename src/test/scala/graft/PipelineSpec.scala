@@ -152,6 +152,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(keys.forall(f2.contains))
   }
 
+  test("seen shard: exact set semantics under random insert/probe/merge/growth") {
+    val rnd = new scala.util.Random(42)
+    val shard = graft.engine.SeenShard.create(64) // tiny → forces several grows
+    val ref = scala.collection.mutable.Set[(Long, Long)]()
+    val universe = (1 to 4000).map(_ => (rnd.nextLong(), rnd.nextLong()))
+    universe.take(3000).foreach { case (s, u) =>
+      assert(shard.insert(s, u) == ref.add((s, u)))
+    }
+    // duplicate inserts report not-new
+    universe.take(50).foreach { case (s, u) => assert(!shard.insert(s, u)) }
+    // exactness both ways (no false positives, no false negatives)
+    universe.foreach { case (s, u) =>
+      assert(shard.contains(s, u) == ref.contains((s, u)))
+    }
+    assert(shard.size == ref.size)
+    // merge ≡ set union
+    val other = graft.engine.SeenShard.create(64)
+    val extra = (1 to 500).map(_ => (rnd.nextLong(), rnd.nextLong()))
+    extra.foreach { case (s, u) => other.insert(s, u) }
+    shard.merge(other)
+    (universe ++ extra).foreach { case (s, u) =>
+      assert(shard.contains(s, u) == (ref.contains((s, u)) || extra.contains((s, u))))
+    }
+    // java round-trip (the shards ride RDD serialization)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(shard)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject()
+      .asInstanceOf[graft.engine.SeenShard]
+    assert(universe.take(100).forall { case (s, u) => back.contains(s, u) })
+    // seed hashing is stable and spreads
+    assert(graft.engine.SeenShard.seedHash("d0") != graft.engine.SeenShard.seedHash("d1"))
+    assert(graft.engine.SeenShard.seedHash("abc") == graft.engine.SeenShard.seedHash("abc"))
+  }
+
   test("robots parser: groups, allow-overrides, longest-match") {
     import graft.engine.Robots
     val r = Robots.parse(
