@@ -251,6 +251,21 @@ object CrawlQueries {
       .distinct().orderBy("doc_id", "url")
   }
 
+  /** Same crawl + projection as [[urlSeen]], but with the bloom and the
+    * executor-resident (cuckoo + exact SeenShard) structures forced on
+    * from the first round — the at-scale URL-seen dedup path (no
+    * cumulative-seen anti-join) must produce the identical final URL-seen
+    * set under the driver's DuckDB gate, not just under ScalaTest.
+    */
+  def urlSeenSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/list/p1.html")
+    new Crawler(spark, Fixtures.corpus(spark, sfDir),
+      Crawler.Config(bloomThreshold = 0L, cuckooThreshold = 0L))
+      .crawl(listJob, seeds)
+      .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"), col("url"))
+      .distinct().orderBy("doc_id", "url")
+  }
+
   /** Sitemap seed discovery (engine.Sitemaps): every `<url>` entry of each
     * site's sitemap.xml, extracted through the standard Catalyst expression
     * and absolutized — the frontier-seeding surface of the crawl.

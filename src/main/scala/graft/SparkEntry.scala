@@ -32,6 +32,7 @@ object SparkEntry {
     "crawl_entities" -> (CrawlQueries.crawlEntities(_, _)),
     "crawl_iframe_xdoc" -> (CrawlQueries.crawlIframeXdoc(_, _)),
     "url_seen" -> (CrawlQueries.urlSeen(_, _)),
+    "url_seen_sharded" -> (CrawlQueries.urlSeenSharded(_, _)),
     "politeness_schedule" -> (CrawlQueries.politenessSchedule(_, _)),
     "politeness_concurrency" -> (CrawlQueries.politenessConcurrency(_, _)),
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
@@ -124,6 +125,13 @@ object SparkEntry {
       """SELECT doc_id, '<x> & "q" '||chr(169)||doc_id AS val
         |FROM documents ORDER BY 1""".stripMargin,
     "url_seen" ->
+      """SELECT d.doc_id,
+        |  'http://h'||(d.doc_id%50)||'.test/d'||d.doc_id||'/list/p'||k||'.html' AS url
+        |FROM documents d, generate_series(1,3) s(k)
+        |ORDER BY 1,2""".stripMargin,
+    // identical oracle: the sharded (bloom + cuckoo + exact SeenShard)
+    // dedup path must reproduce the exact same final URL-seen set
+    "url_seen_sharded" ->
       """SELECT d.doc_id,
         |  'http://h'||(d.doc_id%50)||'.test/d'||d.doc_id||'/list/p'||k||'.html' AS url
         |FROM documents d, generate_series(1,3) s(k)
