@@ -40,6 +40,14 @@ final class Crawler(
   val prefilterSkipped: org.apache.spark.util.LongAccumulator =
     spark.sparkContext.longAccumulator("graft_prefilter_skipped")
 
+  /** Current executor-resident URL-seen shard generation (None until the
+    * sharded path activates). Test/chaos hook: unpersisting it simulates
+    * executor loss of the locally-checkpointed shard blocks mid-crawl —
+    * the loop must recover by rebuilding from `seen`, not fail.
+    */
+  @volatile private[graft] var liveShards:
+      Option[org.apache.spark.rdd.RDD[(Int, (CuckooFilter, SeenShard))]] = None
+
   /** `Rabida.Crawl` (`svc.go:93-101`): paginated crawl over seeds sharing
     * one Job shape. Default seed list = the job's own link
     * (`svcimpl.go:256-259` StartPageUrl override included).
@@ -172,6 +180,18 @@ final class Crawler(
     // driver job via localCheckpointWithCount. Measured serial-floor
     // lever (BASELINE.md round 2: removing one per-round driver job
     // lifted 1v4 scaling 0.59→0.64).
+    // RDD.doCheckpoint does NOT recurse past an action RDD that is itself
+    // marked for checkpointing unless this property is set — so the shard
+    // RDD's localCheckpoint mark (an ANCESTOR of every round's fused
+    // frontier-checkpoint action) was never honored: it behaved as a plain
+    // persist whose lineage chained across every round, and a lost block
+    // would recompute through the whole multi-round merge chain. With the
+    // property set, the round's one driver job also truncates the shard
+    // RDD's lineage at first materialization (restored in finally below).
+    val markAllKey = "spark.checkpoint.checkpointAllMarkedAncestors"
+    val prevMarkAll = spark.sparkContext.getLocalProperty(markAllKey)
+    spark.sparkContext.setLocalProperty(markAllKey, "true")
+
     var frontier: DataFrame = null
     var frontierCount = 0L
     resumed match {
@@ -270,22 +290,38 @@ final class Crawler(
       val merged = cuckooRdd match {
         case None => delta
         case Some(prev) =>
-          // same partitioner on both sides → narrow join, shard-local merge
+          // same partitioner on both sides → narrow join, shard-local
+          // merge. COPY-ON-WRITE: `a` is an object served from the
+          // PREVIOUS generation's cached block — merging in place would
+          // mutate that block, so a task retry / speculative duplicate
+          // re-executing this partition would re-apply the
+          // non-idempotent merge (CuckooFilter.merge re-inserts every
+          // fingerprint, inflating load toward the stash) and a
+          // concurrent reader could observe a SeenShard mid-grow. Deep
+          // copy before merging; `b` (the round delta) is freshly
+          // aggregated per execution and safe to alias.
           prev.fullOuterJoin(delta, cuckooPartitioner).mapValues {
-            case (Some(a), Some(b)) => (a._1.merge(b._1), a._2.merge(b._2))
+            case (Some(a), Some(b)) => (a._1.copy().merge(b._1), a._2.copy().merge(b._2))
             case (Some(a), None)    => a
             case (None, Some(b))    => b
             case (None, None)       => freshPair()
           }
       }
       merged.setName(s"graft-cuckoo-shards")
-      // truncate lineage at first materialization (MEMORY_AND_DISK blocks);
-      // the durable URL-seen authority remains the checkpointed `seen`
-      // table — on executor loss the filters rebuild from it via the
-      // same backfill path used on resume
+      // shard residency policy first (MEMORY_AND_DISK default: an outgrown
+      // shard spills to executor-local disk instead of failing)...
+      merged.persist(org.apache.spark.storage.StorageLevel.fromString(config.shardStorageLevel))
+      // ...then truncate lineage at first materialization — honored via the
+      // checkpointAllMarkedAncestors local property set in run() (without
+      // it this mark is never acted on). The durable URL-seen authority
+      // remains the checkpointed `seen` table — on executor loss the
+      // filters rebuild from it via the same backfill path used on resume
+      // (see the block-loss recovery around the round's frontier
+      // checkpoint).
       merged.localCheckpoint()
       cuckooPrev = cuckooRdd
       cuckooRdd = Some(merged)
+      liveShards = cuckooRdd
     }
     // probe rows map-side against the co-partitioned shards, ONE exchange
     // by shard: cuckoo first (a definitely-new verdict counts toward the
@@ -344,9 +380,16 @@ final class Crawler(
           // round's first consumer and fills the persisted RDD; the
           // remainder anti-join and the seen union then read the blocks.
           // The priority-frontier regime thus pays ONE driver job per
-          // round too, not two.
+          // round too, not two. (seed_id, url) complete a TOTAL order —
+          // the lazy boundary keeps lineage, so a lost block recomputes
+          // the slice, and orderBy+limit with ties would be free to
+          // return a DIFFERENT row set than the one already unioned into
+          // `seen` and fetched (urls silently marked seen but never
+          // crawled). With the tiebreaker, recompute reproduces the
+          // identical batch.
           val b = B.lazyCache(
-            frontier.orderBy(col("priority"), col("host_bucket")).limit(n.toInt))
+            frontier.orderBy(col("priority"), col("host_bucket"), col("seed_id"), col("url"))
+              .limit(n.toInt))
           val rest = frontier.join(b.select("seed_id", "url"), Seq("seed_id", "url"), "left_anti")
           (b, rest, n)
         case _ => (frontier, spark.emptyDataFrame, frontierCount)
@@ -361,34 +404,21 @@ final class Crawler(
       // table at real scale) the corpus never re-shuffles and the hash
       // build runs per-partition on the executors — fully parallel. AQE
       // splits skewed hosts either way.
-      val joinBatch =
-        if (config.broadcastFrontier) broadcast(batch) else batch.hint("shuffle_hash")
-      val fetched = joinBatch.join(corpusPages, Seq("url"), "inner")
-        .withColumn("ua", uaCol)
-        .withColumn("cookies", lit(job.enableCookies.rawCookies)) // S4 fetch metadata
-        // parsed jar (lib/cookies.go parity): typed struct column, computed
-        // once per job on the driver
-        .withColumn("cookie_jar", typedLit(Cookies.forJob(
-          if (job.startPageUrl.nonEmpty) job.startPageUrl else job.link,
-          job.enableCookies.rawCookies, job.enableCookies.expires)))
-
       // robots Crawl-delay rides in per host via the dimension join (left:
       // hosts without a declared delay schedule on the engine's own knobs)
-      val fetchedWithDelay =
+      def withRobotsDelay(df: DataFrame): DataFrame =
         if (robotsHasDelay)
-          fetched.join(
+          df.join(
             robotsDim.select(col("__r_host").as("host"),
               when(col("__r_delay_ms") > 0, col("__r_delay_ms")).as("__robots_delay_ms")),
             Seq("host"), "left")
-        else fetched
+        else df
 
       // politeness windows by host; without rebalancing, extraction would
       // inherit that partitioning and a hot (Zipf) host would serialize all
       // its parsing in one task — repartition by url hash so parse work
       // spreads evenly (SURVEY.md §7 hard part 5: salting the skew out of
-      // the post-schedule stage; schedule columns are already computed)
-      val paced0 = Politeness.schedule(fetchedWithDelay, config.politeness,
-        if (robotsHasDelay) Some(col("__robots_delay_ms")) else None)
+      // the post-schedule stage; schedule columns are already computed).
       // realPace: honor the schedule in wall-clock (a live fetcher's
       // behavior); off by default — the sandbox corpus join needs no delay
       // emitted_ms carries the wall-clock emission offset (and keeps the
@@ -400,14 +430,46 @@ final class Crawler(
       // schedule — so hosts are bin-packed by delay budget and each bin
       // runs its schedule in order, waits overlapped with tail-host work
       // (§7 hard part 6; see Politeness.packForPace).
-      val paced =
+      def schedulePace(df: DataFrame): DataFrame = {
+        val sched = Politeness.schedule(withRobotsDelay(df), config.politeness,
+          if (robotsHasDelay) Some(col("__robots_delay_ms")) else None)
         if (config.realPace && politenessActive)
           Politeness.pace(
-            Politeness.packForPace(paced0, spark.sparkContext.defaultParallelism),
-            System.currentTimeMillis())
+            Politeness.packForPace(sched, spark.sparkContext.defaultParallelism),
+            config.paceClock())
         else if (politenessActive)
-          paced0.repartition(col("url_hash")).withColumn("emitted_ms", lit(0L))
-        else paced0.withColumn("emitted_ms", lit(0L))
+          sched.repartition(col("url_hash")).withColumn("emitted_ms", lit(0L))
+        else sched.withColumn("emitted_ms", lit(0L))
+      }
+
+      val fetchedPaced = config.fetcher match {
+        case None =>
+          // default fused shape (PlanSpec-pinned): fetch = corpus scan-join
+          // FIRST (broadcast the small frontier batch so the big corpus
+          // never shuffles, SURVEY.md S1; at 10^10-frontier scale
+          // broadcastFrontier=false switches to a shuffle-HASH join whose
+          // hash build runs per-partition on the executors, the corpus
+          // pre-bucketed by url). A url absent from the corpus
+          // (404/timeout lineage) consumes no politeness slot. AQE splits
+          // skewed hosts either way.
+          val joinBatch =
+            if (config.broadcastFrontier) broadcast(batch) else batch.hint("shuffle_hash")
+          schedulePace(joinBatch.join(corpusPages, Seq("url"), "inner"))
+        case Some(f) =>
+          // pluggable fetcher (SURVEY.md S1 "real scale" path): politeness
+          // must gate the fetch itself — schedule + (wall-clock) pace the
+          // frontier batch, THEN fetch, so a live fetcher issues each
+          // request at its scheduled slot.
+          f.fetch(schedulePace(batch))
+      }
+      val paced = fetchedPaced
+        .withColumn("ua", uaCol)
+        .withColumn("cookies", lit(job.enableCookies.rawCookies)) // S4 fetch metadata
+        // parsed jar (lib/cookies.go parity): typed struct column, computed
+        // once per job on the driver
+        .withColumn("cookie_jar", typedLit(Cookies.forJob(
+          if (job.startPageUrl.nonEmpty) job.startPageUrl else job.link,
+          job.enableCookies.rawCookies, job.enableCookies.expires)))
 
       // cross-document iframe (P12 completion, `svcimpl.go:638-656`): when
       // the job scopes into an iframe and the matched element carries a src
@@ -523,57 +585,81 @@ final class Crawler(
       // thresholds the plain anti-join remains (at small seen sizes it
       // is cheaper than maintaining the shard structures).
       val bloomOpt = bloomFilter.map(spark.sparkContext.broadcast(_))
-      val cuckooOn = cuckooPrimed && cuckooRdd.nonEmpty
-      val preFiltered =
-        if (!cuckooOn) {
-          val base = bloomOpt match {
-            case Some(bc) =>
-              val acc = prefilterSkipped
-              // reject branch counts; each bloom-skipped row increments
-              // the accumulator exactly once
-              val rejectCounted = udf { (h: Long) =>
-                val might = bc.value.mightContain(h)
-                if (!might) acc.add(1L)
-                might
-              }
-              val quiet = udf((h: Long) => bc.value.mightContain(h))
-              val bloomNew = succHashed.filter(!rejectCounted(col("url_hash")))
-              bloomNew.unionByName(
-                succHashed.filter(quiet(col("url_hash")))
-                  .join(seen, Seq("seed_id", "url_hash"), "left_anti"))
-            case None =>
-              succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+      // successor dedup + frontier checkpoint as a (re)buildable plan: the
+      // plan captures the CURRENT shard RDD, so the block-loss recovery
+      // below can rebuild the shards from `seen` and re-plan.
+      def dedupAndCheckpoint(): (DataFrame, Long) = {
+        val cuckooOn = cuckooPrimed && cuckooRdd.nonEmpty
+        val preFiltered =
+          if (!cuckooOn) {
+            val base = bloomOpt match {
+              case Some(bc) =>
+                val acc = prefilterSkipped
+                // reject branch counts; each bloom-skipped row increments
+                // the accumulator exactly once
+                val rejectCounted = udf { (h: Long) =>
+                  val might = bc.value.mightContain(h)
+                  if (!might) acc.add(1L)
+                  might
+                }
+                val quiet = udf((h: Long) => bc.value.mightContain(h))
+                val bloomNew = succHashed.filter(!rejectCounted(col("url_hash")))
+                bloomNew.unionByName(
+                  succHashed.filter(quiet(col("url_hash")))
+                    .join(seen, Seq("seed_id", "url_hash"), "left_anti"))
+              case None =>
+                succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+            }
+            base
+          } else {
+            val acc = prefilterSkipped
+            val (bloomNew, bloomMaybe) = bloomOpt match {
+              case Some(bc) =>
+                val rejectCounted = udf { (h: Long) =>
+                  val might = bc.value.mightContain(h)
+                  if (!might) acc.add(1L)
+                  might
+                }
+                val quiet = udf((h: Long) => bc.value.mightContain(h))
+                (succHashed.filter(!rejectCounted(col("url_hash"))),
+                  succHashed.filter(quiet(col("url_hash"))))
+              case None => (spark.emptyDataFrame, succHashed)
+            }
+            val shardNew = cuckooProbeNew(bloomMaybe)
+            if (bloomNew.columns.nonEmpty) shardNew.unionByName(bloomNew) else shardNew
           }
-          base
-        } else {
-          val acc = prefilterSkipped
-          val (bloomNew, bloomMaybe) = bloomOpt match {
-            case Some(bc) =>
-              val rejectCounted = udf { (h: Long) =>
-                val might = bc.value.mightContain(h)
-                if (!might) acc.add(1L)
-                might
-              }
-              val quiet = udf((h: Long) => bc.value.mightContain(h))
-              (succHashed.filter(!rejectCounted(col("url_hash"))),
-                succHashed.filter(quiet(col("url_hash"))))
-            case None => (spark.emptyDataFrame, succHashed)
-          }
-          val shardNew = cuckooProbeNew(bloomMaybe)
-          if (bloomNew.columns.nonEmpty) shardNew.unionByName(bloomNew) else shardNew
-        }
 
-      val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
-        "host", "url_hash", "host_bucket", "priority")
-      // a successor may already be QUEUED (in the unfetched remainder) even
-      // though not yet seen — anti-join against the remainder too, keeping
-      // the earlier-queued row (BFS order), so no url is fetched twice
-      // checkpoint + loop-control count, one driver job
-      val (chk, n) = B.localCheckpointWithCount(
-        if (batchCount < frontierCount)
-          remainder.unionByName(
-            succ.join(remainder.select("seed_id", "url_hash"), Seq("seed_id", "url_hash"), "left_anti"))
-        else succ)
+        val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
+          "host", "url_hash", "host_bucket", "priority")
+        // a successor may already be QUEUED (in the unfetched remainder)
+        // even though not yet seen — anti-join against the remainder too,
+        // keeping the earlier-queued row (BFS order), so no url is fetched
+        // twice. checkpoint + loop-control count, one driver job
+        B.localCheckpointWithCount(
+          if (batchCount < frontierCount)
+            remainder.unionByName(
+              succ.join(remainder.select("seed_id", "url_hash"), Seq("seed_id", "url_hash"), "left_anti"))
+          else succ)
+      }
+      // mid-crawl executor-loss recovery: the shard RDD is locally
+      // checkpointed (lineage truncated), so losing one of its blocks —
+      // executor death, routine on a 1000-executor fleet — fails the
+      // round's job instead of recomputing. The durable authority is the
+      // `seen` table: drop the dead shard generation, rebuild the shards
+      // from `seen` via the same backfill path resume uses, and re-run
+      // the round's checkpoint. Any non-block-loss failure propagates on
+      // the retry.
+      val (chk, n) =
+        try dedupAndCheckpoint()
+        catch {
+          case t: Throwable if cuckooPrimed && cuckooRdd.nonEmpty && Crawler.looksLikeBlockLoss(t) =>
+            cuckooRdd.foreach(_.unpersist(blocking = false))
+            cuckooPrev.foreach(_.unpersist(blocking = false))
+            cuckooRdd = None
+            cuckooPrev = None
+            insertIntoCuckoo(seen) // full backfill: seen already includes this round's batch
+            dedupAndCheckpoint()
+        }
       frontier = chk
       frontierCount = n
 
@@ -584,15 +670,20 @@ final class Crawler(
       cuckooPrev = None
 
       store.foreach { st =>
-        // capture this round's immutable frames/counters for the async task
-        val (cRound, cFrontier, cSeen, cPages) = (round, frontier, seen, pages)
+        // capture this round's immutable frames/counters for the async
+        // task. ONLY the round's newly-seen delta ships to the store —
+        // the store appends it as a per-round delta file and unions the
+        // manifest-listed deltas on resume, so commit work per round is
+        // O(batch), never O(|seen|) (the r4 verdict's last per-round
+        // O(|seen|) term).
+        val (cRound, cFrontier, cNewSeen, cPages) = (round, frontier, newSeen, pages)
         val (cBatch, cFrontierNext, cSeenTotal) = (batchCount, frontierCount, seenEstimate)
         commitFutures += commitPool.get.submit(new Runnable {
           def run(): Unit = {
             val partMetrics = cPages.groupBy(spark_partition_id().as("p")).count()
               .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
             val fetchedCount = cPages.count()
-            st.commit(cRound, cFrontier, cSeen,
+            st.commit(cRound, cFrontier, cNewSeen,
               Seq("pages_fetched" -> fetchedCount,
                 // fetch misses (url absent from corpus ≙ 404/timeout lineage)
                 "pages_missing" -> (cBatch - fetchedCount),
@@ -612,7 +703,7 @@ final class Crawler(
         try drainCommits()
         catch { case c: Throwable if c ne t => t.addSuppressed(c) }
         throw t
-    }
+    } finally spark.sparkContext.setLocalProperty(markAllKey, prevMarkAll)
 
     val all = perRound.reduceOption(_ unionByName _).getOrElse(emptyPages(job))
     // item explosion: pos continues across scroll rounds via the cursor
@@ -711,6 +802,30 @@ object UserAgents {
 }
 
 object Crawler {
+
+  /** Does this failure chain look like a lost cached/checkpointed block
+    * (executor death, eviction, or an unpersisted local checkpoint)?
+    * Spark surfaces task failures as a SparkException whose MESSAGE embeds
+    * the task's stack-trace text, so the match runs over messages, not
+    * exception classes, across the (bounded) cause chain.
+    */
+  private[engine] def looksLikeBlockLoss(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      val m = cur.getMessage
+      if (m != null && (m.contains("Checkpoint block") ||
+          m.contains("BlockNotFound") ||
+          m.contains("Failed to fetch block") ||
+          m.contains("Could not find block") ||
+          m.contains("FetchFailed")))
+        return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   final case class Config(
       politeness: Politeness.Config = Politeness.Config(),
       maxRounds: Int = 64,
@@ -737,6 +852,19 @@ object Crawler {
       // table — overflow degrades to the victim stash, never false-negates
       cuckooThreshold: Long = 10000000L,
       cuckooCapacityPerShard: Long = 1L << 18,
+      // storage level for the executor-resident URL-seen shard RDD;
+      // MEMORY_AND_DISK lets an outgrown shard spill to executor-local
+      // disk instead of failing (see SeenShard scaladoc sizing math).
+      // Tests force "DISK_ONLY" to prove the crawl survives spilled shards.
+      shardStorageLevel: String = "MEMORY_AND_DISK",
+      // pluggable fetch stage: None = the default fused corpus scan-join
+      // (fetch before schedule — a miss consumes no politeness slot);
+      // Some(f) = politeness schedules + paces FIRST, then f.fetch() runs
+      // behind the schedule — the live-HTTP-fetcher wiring (SURVEY.md S1)
+      fetcher: Option[Fetcher] = None,
+      // wall-clock source for realPace (injectable so tests can drive the
+      // pacing machinery with a past epoch and sleep zero real time)
+      paceClock: () => Long = () => System.currentTimeMillis(),
       checkpointDir: Option[String] = None,
       // per-page extraction wall-clock budget (L12, reference's per-step
       // chromedp timeout); 0 = unbounded. A page over budget becomes an

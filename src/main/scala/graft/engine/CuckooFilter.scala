@@ -124,6 +124,19 @@ final class CuckooFilter private (
     this
   }
 
+  /** Deep copy for copy-on-write merging (see [[SeenShard.copy]]): `merge`
+    * mutates `this` and is NOT idempotent (it re-inserts every resident
+    * fingerprint, inflating `count` and pushing entries toward the stash),
+    * so the per-round shard merge must never run it against an object
+    * owned by the previous generation's cached RDD block.
+    */
+  def copy(): CuckooFilter = {
+    val c = new CuckooFilter(numBuckets, table.clone())
+    c.count = count
+    c.stash = stash
+    c
+  }
+
   def serialize(): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + 8 + table.length * 2 + 4 + stash.length * 8)
     bb.putInt(Magic)

@@ -19,14 +19,21 @@ import java.nio.charset.StandardCharsets
   * session's default FS.
   *
   * Commit protocol (single-writer, crash-safe):
-  *   1. write `data/round=N/frontier` + `data/round=N/seen` parquet,
-  *   2. write `manifest-N.json.tmp` with the file list + metrics,
+  *   1. write `data/round=N/frontier` + `data/round=N/seen-delta` parquet
+  *      (the delta holds ONLY the round's newly-seen rows — commit I/O is
+  *      O(batch) per round; the manifest's `seen_deltas` list is the
+  *      Iceberg-style union a reader reconstructs the full seen set from),
+  *   2. write `manifest-N.json.tmp` with the file list + delta list +
+  *      metrics,
   *   3. atomic overwrite-rename to `manifest-N.json`, then to `latest.json`
   *      (FileContext.rename with Options.Rename.OVERWRITE — the rename
   *      HDFS guarantees atomic; on S3A the manifest is a single small
   *      object so the copy+delete is still last-writer-wins consistent).
   * A reader never observes a half-written snapshot; re-running round N is
-  * idempotent (the URL-seen anti-join absorbs replays, SURVEY.md §7 #4).
+  * idempotent (the URL-seen anti-join absorbs replays, and a replayed
+  * round overwrites its own delta dir without double-listing it;
+  * SURVEY.md §7 #4). Legacy v1 manifests (full `seen` table per round)
+  * still load.
   */
 final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
 
@@ -61,7 +68,32 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
 
   final case class Snapshot(round: Int, frontier: DataFrame, seen: DataFrame)
 
-  def commit(round: Int, frontier: DataFrame, seen: DataFrame, metrics: Seq[(String, Long)],
+  /** Directories of the seen deltas committed so far (oldest first), i.e.
+    * the manifest's `seen_deltas` list. Initialized from `latest.json` on
+    * first use so a store that resumes an existing crawl keeps appending
+    * to the loaded chain. Mutated only by `commit`, which runs on the
+    * crawler's single-threaded ordered commit pool.
+    */
+  private var deltaDirs: Option[Seq[String]] = None
+
+  private def currentDeltaDirs(): Seq[String] = deltaDirs.getOrElse {
+    val latest = new Path(qroot, "latest.json")
+    val dirs =
+      if (!fs.exists(latest)) Seq.empty[String]
+      else parseSeenDeltas(new String(readBytes(latest), StandardCharsets.UTF_8))
+        .getOrElse(Seq.empty)
+    deltaDirs = Some(dirs)
+    dirs
+  }
+
+  /** Commit round N. `seenDelta` is ONLY the round's newly-seen rows: the
+    * store appends it as an immutable per-round delta dir and the manifest
+    * carries the full delta list, so commit I/O is O(batch) per round —
+    * never O(|seen|) (the old full-seen rewrite was the loop's last
+    * per-round O(|seen|) term at 10^10 urls). `loadLatest` unions the
+    * manifest-listed deltas (one multi-path parquet read).
+    */
+  def commit(round: Int, frontier: DataFrame, seenDelta: DataFrame, metrics: Seq[(String, Long)],
              partitionMetrics: Seq[(Int, Long)] = Nil): Unit = {
     val base = new Path(qroot, s"data/round=$round")
     // north-star frontier layout: partitioned by host_bucket, rows sorted
@@ -77,21 +109,26 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
     } else {
       frontier.write.mode(SaveMode.Overwrite).parquet(new Path(base, "frontier").toString)
     }
-    seen.write.mode(SaveMode.Overwrite).parquet(new Path(base, "seen").toString)
+    val deltaDir = new Path(base, "seen-delta")
+    seenDelta.write.mode(SaveMode.Overwrite).parquet(deltaDir.toString)
     // schemas ride the snapshot so a COMPLETED crawl's empty frontier (zero
     // parquet row groups → no inferable schema) still resumes cleanly
     writeBytes(new Path(base, "frontier.schema.json"),
       frontier.schema.json.getBytes(StandardCharsets.UTF_8))
     writeBytes(new Path(base, "seen.schema.json"),
-      seen.schema.json.getBytes(StandardCharsets.UTF_8))
-    val filesList = listParquet(new Path(base, "frontier")) ++ listParquet(new Path(base, "seen"))
-    val json = manifestJson(round, filesList, metrics, partitionMetrics)
+      seenDelta.schema.json.getBytes(StandardCharsets.UTF_8))
+    // a re-committed round (crash replay) must not list its delta twice
+    val newDeltas = currentDeltaDirs().filterNot(_ == deltaDir.toString) :+ deltaDir.toString
+    val filesList = listParquet(new Path(base, "frontier")) ++ listParquet(deltaDir)
+    val json = manifestJson(round, filesList, newDeltas, metrics, partitionMetrics)
     val tmp = new Path(qroot, s"manifest-$round.json.tmp")
     writeBytes(tmp, json.getBytes(StandardCharsets.UTF_8))
     atomicOverwriteRename(tmp, new Path(qroot, s"manifest-$round.json"))
     val tmp2 = new Path(qroot, "latest.json.tmp")
     writeBytes(tmp2, json.getBytes(StandardCharsets.UTF_8))
     atomicOverwriteRename(tmp2, new Path(qroot, "latest.json"))
+    // only after the manifest rename (the commit point) does the chain advance
+    deltaDirs = Some(newDeltas)
   }
 
   def loadLatest(): Option[Snapshot] = {
@@ -101,17 +138,27 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
       val json = new String(readBytes(latest), StandardCharsets.UTF_8)
       val round = """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
       round.map { r =>
-        def readWithSchema(part: String) = {
+        def schemaReader(part: String) = {
           val sp = new Path(qroot, s"data/round=$r/$part.schema.json")
-          val reader =
-            if (fs.exists(sp))
-              spark.read.schema(org.apache.spark.sql.types.DataType
-                .fromJson(new String(readBytes(sp), StandardCharsets.UTF_8))
-                .asInstanceOf[org.apache.spark.sql.types.StructType])
-            else spark.read
-          reader.parquet(new Path(qroot, s"data/round=$r/$part").toString)
+          if (fs.exists(sp))
+            spark.read.schema(org.apache.spark.sql.types.DataType
+              .fromJson(new String(readBytes(sp), StandardCharsets.UTF_8))
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          else spark.read
         }
-        Snapshot(r, readWithSchema("frontier"), readWithSchema("seen"))
+        val frontier = schemaReader("frontier")
+          .parquet(new Path(qroot, s"data/round=$r/frontier").toString)
+        val seen = parseSeenDeltas(json) match {
+          case Some(dirs) =>
+            // delta layout: ONE multi-path parquet read unions the chain
+            // (file-source listing parallelizes; no per-delta plan nodes)
+            deltaDirs = Some(dirs)
+            schemaReader("seen").parquet(dirs: _*)
+          case None =>
+            // legacy (pre-delta) snapshot layout: one full seen table
+            schemaReader("seen").parquet(new Path(qroot, s"data/round=$r/seen").toString)
+        }
+        Snapshot(r, frontier, seen)
       }
     }
   }
@@ -136,11 +183,25 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
     }
   }
 
-  private def manifestJson(round: Int, files: Seq[String], metrics: Seq[(String, Long)],
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def manifestJson(round: Int, files: Seq[String], seenDeltas: Seq[String],
+                           metrics: Seq[(String, Long)],
                            partitionMetrics: Seq[(Int, Long)]): String = {
-    val fs = files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    val fs = files.map(jsonStr).mkString("[", ",", "]")
+    val sd = seenDeltas.map(jsonStr).mkString("[", ",", "]")
     val ms = metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val pm = partitionMetrics.map { case (p, n) => s"""{"partition":$p,"rows":$n}""" }.mkString("[", ",", "]")
-    s"""{"format":"graft-frontier-v1","round":$round,"committed_at":${System.currentTimeMillis()},"files":$fs,"metrics":$ms,"partition_lineage":$pm}"""
+    s"""{"format":"graft-frontier-v2","round":$round,"committed_at":${System.currentTimeMillis()},"files":$fs,"seen_deltas":$sd,"metrics":$ms,"partition_lineage":$pm}"""
   }
+
+  /** `seen_deltas` array from a manifest; None on a legacy (v1, full-seen)
+    * manifest so the reader falls back to `data/round=N/seen`.
+    */
+  private def parseSeenDeltas(json: String): Option[Seq[String]] =
+    """"seen_deltas"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json).map { m =>
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
 }

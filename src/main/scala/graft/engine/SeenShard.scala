@@ -22,6 +22,17 @@ package graft.engine
   * bitmap (pairs may take any long values, so occupancy cannot be encoded
   * in-band); grows at 70 % load. Not thread-safe — shards are owned by
   * exactly one partition of an RDD.
+  *
+  * Sizing `hostBuckets` (= shard count) for a target crawl: a shard of S
+  * entries costs ~S/0.7 slots × 16 B ≈ 23·S bytes resident. The shard RDD
+  * persists MEMORY_AND_DISK, so a shard that outgrows the executor's
+  * storage memory spills to local disk and is streamed back per probe —
+  * correct but slow; keep shards memory-resident by choosing
+  * hostBuckets ≥ totalUrls × 23 B / perExecutorShardBudget. At 10^10 urls
+  * with a 4 GiB/executor shard budget that is ≥ 64 shards (≈1.6×10^8
+  * entries ≈ 3.7 GiB each) — and growth is capped at 2^30 slots
+  * (~7.5×10^8 entries at 70 % load), past which insert fails loudly with
+  * this guidance rather than degrading silently.
   */
 final class SeenShard private (
     private var keysSeed: Array[Long],
@@ -59,7 +70,7 @@ final class SeenShard private (
 
   /** Insert; returns true if the pair was new. */
   def insert(seedH: Long, urlH: Long): Boolean = {
-    if (count >= capacity * 7 / 10) grow()
+    if (needsGrow(count, capacity)) grow()
     var i = slotOf(seedH, urlH)
     while (isOccupied(i)) {
       if (keysSeed(i) == seedH && keysUrl(i) == urlH) return false
@@ -71,6 +82,19 @@ final class SeenShard private (
   }
 
   private def grow(): Unit = {
+    if (capacity >= MaxCapacity) {
+      // cannot double past the max power-of-two array size; keep absorbing
+      // inserts at rising load (linear probing stays correct below full),
+      // but fail LOUD before the probe loop could spin on a full table.
+      // Reaching this ceiling means hostBuckets was mis-sized — see the
+      // class scaladoc's shard-count math.
+      if (count >= capacity - (capacity >>> 10))
+        throw new IllegalStateException(
+          s"SeenShard at max capacity ($MaxCapacity slots, $count entries): " +
+            "raise Crawler.Config.hostBuckets so each url-hash shard holds " +
+            "fewer pairs (target <= ~1e8 entries/shard; see SeenShard scaladoc)")
+      return
+    }
     val oldSeed = keysSeed; val oldUrl = keysUrl; val oldOcc = occupied
     val newCap = capacity << 1
     keysSeed = new Array[Long](newCap)
@@ -98,9 +122,34 @@ final class SeenShard private (
   }
 
   @inline private def isOccupiedAt(i: Int): Boolean = isOccupied(i)
+
+  /** Deep copy for copy-on-write merging: the per-round shard merge must
+    * never mutate an object served from the PREVIOUS generation's cached
+    * RDD block — a task retry or speculative duplicate re-executing the
+    * merge partition would otherwise re-apply the (non-idempotent) merge
+    * to the already-mutated shard, and a concurrent reader could observe
+    * it mid-grow.
+    */
+  def copy(): SeenShard =
+    new SeenShard(keysSeed.clone(), keysUrl.clone(), occupied.clone(), count)
 }
 
 object SeenShard {
+
+  /** Largest power-of-two slot count a JVM long array supports here
+    * (2^30 slots = 16 GiB of key arrays — far past any sane per-shard
+    * budget; the crawler should raise `hostBuckets` long before this).
+    */
+  private[graft] val MaxCapacity: Int = 1 << 30
+
+  /** Grow at 70% load — overflow-safe: `count * 7` overflows Int once
+    * capacity reaches 2^29 (the old `count >= capacity * 7 / 10` went
+    * negative and forced growth to a negative array size past ~188M
+    * entries per shard, just above the 10^10-url / 64-bucket design
+    * point), so compare in Long space.
+    */
+  private[graft] def needsGrow(count: Int, capacity: Int): Boolean =
+    count.toLong * 10L >= capacity.toLong * 7L
 
   def create(initialCapacity: Int = 1 << 10): SeenShard = {
     var cap = Integer.highestOneBit(math.max(initialCapacity, 64))
