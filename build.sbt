@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger: the bench/verify artifact lines must reach the
+// caller bare, not wrapped as "[info] {...}" (which broke downstream
+// JSON extraction from the sbt tail — BENCH_r04.json "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

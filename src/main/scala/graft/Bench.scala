@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit, struct}
 
 /** Driver-run benchmark: headline crawl throughput (pages/sec
   * fetch+extract — the BASELINE.json metric) plus per-query seconds for
@@ -54,6 +54,28 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Cumulative GC time of this JVM (all collectors), for per-rep GC
+    * attribution: local-mode executors share the bench JVM, so the delta
+    * across a rep is the rep's own GC bill.
+    */
+  private def gcMillis(): Long = {
+    val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+    var total = 0L
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) total += t }
+    total
+  }
+
+  /** (result, wall seconds, GC millis) for one rep — `gc_ms` rides in the
+    * artifact next to `reps_sec` so a reader can attribute rep spread to
+    * collection pauses without rerunning.
+    */
+  def timeGc[A](f: => A): (A, Double, Long) = {
+    val g0 = gcMillis()
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9, gcMillis() - g0)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -64,17 +86,20 @@ object Bench {
     * post-checkpoint flatten/orderBy executes once per measurement (the
     * r03 verdict flagged the old count-then-distinct double execution).
     */
-  def runCrawls(spark: SparkSession, sfDir: String, reps: Int): Seq[(String, Long, Long, Seq[Double])] = {
-    def one(name: String, df: => org.apache.spark.sql.DataFrame): (String, Long, Long, Seq[Double]) = {
+  def runCrawls(spark: SparkSession, sfDir: String, reps: Int): Seq[(String, Long, Long, Seq[(Double, Long)])] = {
+    def one(name: String, df: => org.apache.spark.sql.DataFrame): (String, Long, Long, Seq[(Double, Long)]) = {
       val runs = (1 to reps).map { _ =>
-        time {
+        timeGc {
+          // struct() preserves distinct-row semantics under NULLs —
+          // count_distinct(a, b) would silently skip rows where either
+          // column is null, understating the pages_per_sec denominator
           val r = df.agg(count(lit(1)).as("rows"),
-            count_distinct(col("doc_id"), col("page_no")).as("pages")).head()
+            count_distinct(struct(col("doc_id"), col("page_no"))).as("pages")).head()
           (r.getLong(1), r.getLong(0))
         }
       }
       val (pages, rows) = runs.head._1
-      (name, pages, rows, runs.map(_._2))
+      (name, pages, rows, runs.map(r => (r._2, r._3)))
     }
     Seq(
       one("crawl_list", CrawlQueries.crawlList(spark, sfDir)),
@@ -83,9 +108,9 @@ object Bench {
     )
   }
 
-  def runPipeline(spark: SparkSession, sfDir: String, reps: Int): Seq[(String, Seq[Double])] = {
-    def one(name: String, df: => org.apache.spark.sql.DataFrame): (String, Seq[Double]) =
-      (name, (1 to reps).map(_ => time(df.count())._2))
+  def runPipeline(spark: SparkSession, sfDir: String, reps: Int): Seq[(String, Seq[(Double, Long)])] = {
+    def one(name: String, df: => org.apache.spark.sql.DataFrame): (String, Seq[(Double, Long)]) =
+      (name, (1 to reps).map { _ => val r = timeGc(df.count()); (r._2, r._3) })
     Seq(
       one("dedup_exact", PipelineQueries.dedupExact(spark, sfDir)),
       one("dedup_minhash_lsh", PipelineQueries.dedupMinhashLsh(spark, sfDir)),
@@ -138,24 +163,36 @@ object Bench {
     val pipeline = runPipeline(spark, sfDir, reps)
 
     val totalPages = crawls.map(_._2).sum
-    val crawlSec = crawls.map(c => median(c._4)).sum
+    val crawlSec = crawls.map(c => median(c._4.map(_._1))).sum
     val pagesPerSec = if (crawlSec > 0) totalPages / crawlSec else 0.0
 
     val perQuery =
       crawls.map { case (n, _, _, ts) => n -> ts } ++ pipeline
     val queries = perQuery
-      .map { case (k, ts) => "\"" + k + "\":" + f"${median(ts)}%.3f" }
+      .map { case (k, ts) => "\"" + k + "\":" + f"${median(ts.map(_._1))}%.3f" }
       .mkString("{", ",", "}")
     val repsJson = perQuery
-      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
+      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(t => f"${t._1}%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = crawlSec + pipeline.map(p => median(p._2)).sum
+    val gcJson = perQuery
+      .map { case (k, ts) => "\"" + k + "\":[" + ts.map(_._2.toString).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = crawlSec + pipeline.map(p => median(p._2.map(_._1))).sum
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
     val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     val gcName = gc.get(0).getName.replaceAll("[^A-Za-z0-9 ]", "")
     val xmxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queries%s,"sf":"$sfDir%s","pages_per_sec":$pagesPerSec%.1f,"pages":$totalPages%d,"cpus":"$cpus%s","reps":$reps%d,"stat":"median","reps_sec":$repsJson%s,"load_1m_entry":$loadEntry%.2f,"load_1m_start":$loadStart%.2f,"quiesce_wait_sec":$waitedSec%.0f,"jvm":{"forked":$forked%b,"gc":"$gcName%s","max_heap_mb":$xmxMb%d,"version":"${System.getProperty("java.version")}%s"}}""")
+    val artifact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$queries%s,"sf":"$sfDir%s","pages_per_sec":$pagesPerSec%.1f,"pages":$totalPages%d,"cpus":"$cpus%s","reps":$reps%d,"stat":"median","reps_sec":$repsJson%s,"gc_ms":$gcJson%s,"load_1m_entry":$loadEntry%.2f,"load_1m_start":$loadStart%.2f,"quiesce_wait_sec":$waitedSec%.0f,"jvm":{"forked":$forked%b,"gc":"$gcName%s","max_heap_mb":$xmxMb%d,"version":"${System.getProperty("java.version")}%s"}}"""
+    println(artifact)
+    // the same line lands on disk so repo prose can quote the exact
+    // shipped run instead of whichever terminal scrollback survived
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench-latest.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (artifact + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () } // stdout line is the contract; the file is best-effort
     spark.stop()
   }
 
