@@ -95,6 +95,12 @@ object PipelineQueries {
   def frameSample(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.sampleFrames(spark, docs(spark, sfDir))
 
+  def mediaMetaVideo(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.mediaMetaVideo(spark, docs(spark, sfDir))
+
+  def frameSampleVideo(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFramesVideo(spark, docs(spark, sfDir))
+
   // ------------------------------------------------------------- relational
 
   /** TPC-H Q1-shaped pricing summary (partial-agg friendly, codegen'd). */

@@ -56,7 +56,9 @@ object SparkEntry {
     "doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
     "media_meta" -> (PipelineQueries.mediaMeta(_, _)),
     "media_meta_real" -> (PipelineQueries.mediaMetaReal(_, _)),
+    "media_meta_video" -> (PipelineQueries.mediaMetaVideo(_, _)),
     "frame_sample" -> (PipelineQueries.frameSample(_, _)),
+    "frame_sample_video" -> (PipelineQueries.frameSampleVideo(_, _)),
     // --- relational / windowed ---
     "q1_agg" -> (PipelineQueries.q1Agg(_, _)),
     "q_join_broadcast" -> (PipelineQueries.qJoinBroadcast(_, _)),
@@ -279,23 +281,40 @@ object SparkEntry {
         |  CAST(320 + n%320 AS BIGINT) AS width, CAST(240 + n%240 AS BIGINT) AS height,
         |  CAST(n%24 + 1 AS BIGINT) AS frames
         |FROM m ORDER BY 1""".stripMargin,
-    // real-container headers: Spark BUILDS actual PNG/JPEG/GIF/WAV bytes
-    // from doc_id and PARSES them back; the oracle recomputes the shapes
-    // from the same doc_id formulas (png 45 B, jpeg 35 B, gif 14 B, wav
-    // 44 B + 16-bit PCM data) — any offset/endianness bug in the parser
-    // breaks the hash match
+    // real-container headers: Spark BUILDS actual PNG/JPEG/GIF/WAV/MP4
+    // bytes from doc_id and PARSES them back; the oracle recomputes the
+    // shapes from the same doc_id formulas (png 45 B, jpeg 35 B, gif
+    // 14 B, wav 44 B + 16-bit PCM data, mp4 324 B box skeleton) — any
+    // offset/endianness bug in the parser breaks the hash match
     "media_meta_real" ->
-      """WITH m AS (SELECT doc_id, doc_id%4 AS k FROM documents)
+      """WITH m AS (SELECT doc_id, doc_id%5 AS k FROM documents)
         |SELECT doc_id,
-        |  CAST(CASE k WHEN 0 THEN 45 WHEN 1 THEN 35 WHEN 2 THEN 14
+        |  CAST(CASE k WHEN 0 THEN 45 WHEN 1 THEN 35 WHEN 2 THEN 14 WHEN 4 THEN 324
         |       ELSE 44 + (8 + (doc_id*3)%64) * (1 + doc_id%2) * 2 END AS BIGINT) AS n_bytes,
-        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
-        |  CAST(CASE WHEN k < 3 THEN 16 + (doc_id*7)%1024
-        |       ELSE 8000 + (doc_id*11)%40000 END AS BIGINT) AS width,
-        |  CAST(CASE WHEN k < 3 THEN 16 + (doc_id*13)%768
-        |       ELSE 1 + doc_id%2 END AS BIGINT) AS height,
-        |  CAST(CASE WHEN k < 3 THEN 1 ELSE 8 + (doc_id*3)%64 END AS BIGINT) AS frames
+        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' WHEN 4 THEN 'mp4' ELSE 'wav' END AS fmt,
+        |  CAST(CASE WHEN k = 3 THEN 8000 + (doc_id*11)%40000
+        |       ELSE 16 + (doc_id*7)%1024 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN k = 3 THEN 1 + doc_id%2
+        |       ELSE 16 + (doc_id*13)%768 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN k = 3 THEN 8 + (doc_id*3)%64
+        |       WHEN k = 4 THEN 1 + (doc_id*5)%240 ELSE 1 END AS BIGINT) AS frames
         |FROM m ORDER BY 1""".stripMargin,
+    // MP4 box-walk parity: tkhd 16.16 dims, stsz sample count, mvhd
+    // duration ticks / timescale — all recomputed by the oracle from
+    // doc_id (timescale 1000, 25 fps → duration_ms = frames*40)
+    "media_meta_video" ->
+      """SELECT doc_id, CAST(324 AS BIGINT) AS n_bytes, 'mp4' AS fmt,
+        |  CAST(16 + (doc_id*7)%1024 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id*13)%768 AS BIGINT) AS height,
+        |  CAST(1 + (doc_id*5)%240 AS BIGINT) AS frames,
+        |  CAST((1 + (doc_id*5)%240) * 40 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY 1""".stripMargin,
+    // frame sampling over REAL parsed video metadata (stsz frame count),
+    // not the stub byte-length formula
+    "frame_sample_video" ->
+      """SELECT doc_id,
+        |  CAST(unnest(generate_series(0, CAST((doc_id*5)%240 AS BIGINT), 7)) AS BIGINT) AS frame_idx
+        |FROM documents ORDER BY 1,2""".stripMargin,
     "frame_sample" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         |SELECT doc_id, CAST(unnest(generate_series(0, CAST(n%24 AS BIGINT), 7)) AS BIGINT) AS frame_idx

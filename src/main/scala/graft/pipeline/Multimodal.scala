@@ -101,6 +101,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Real MP4 video metadata: each doc becomes an actual ISO-BMFF byte
+    * stream ([[MediaHeaders.buildMp4]], shape + frame count + duration
+    * derived from doc_id) and the box-walk PARSER recovers dims from
+    * `tkhd` (16.16 fixed-point), frame count from `stbl/stsz` and
+    * duration from `mvhd` ticks/timescale. The DuckDB oracle recomputes
+    * all four from doc_id, so a wrong box offset, a missed version
+    * branch, or fixed-point mis-shift breaks the hash.
+    */
+  def mediaMetaVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = docs.select(col("doc_id")).as[Long]
+    src.mapPartitions { it =>
+      it.map { id =>
+        val payload = MediaHeaders.buildMp4(id)
+        val m = MediaHeaders.parseMp4Detail(payload).getOrElse(
+          throw new IllegalStateException(s"buildMp4($id) produced an unparseable container"))
+        (id, payload.length.toLong, "mp4", m.width, m.height, m.frames, m.durationMs)
+      }
+    }.toDF("doc_id", "n_bytes", "fmt", "width", "height", "frames", "duration_ms")
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling driven by REAL parsed video metadata (not the stub
+    * byte-length formula): every `everyNth`-th frame index of each MP4's
+    * stsz sample count. Same explode fan-out shape as [[sampleFrames]] —
+    * at scale, repartition before the per-frame decode so one long video
+    * cannot skew a partition.
+    */
+  def sampleFramesVideo(spark: SparkSession, docs: DataFrame, everyNth: Long = 7): DataFrame =
+    mediaMetaVideo(spark, docs)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("frames") - 1, lit(everyNth))).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
   /** The oracle-checkable projection of the metadata (everything derivable
     * from byte length — DuckDB mirrors with octet_length(encode(text))).
     */

@@ -99,9 +99,18 @@ class PipelineSpec extends AnyFunSuite {
       assert(wav.width == 8000 + java.lang.Math.floorMod(seed * 11, 40000), s"wav rate seed=$seed")
       assert(wav.height == 1 + java.lang.Math.floorMod(seed, 2), s"wav channels seed=$seed")
       assert(wav.frames == 8 + java.lang.Math.floorMod(seed * 3, 64), s"wav samples seed=$seed")
+      val mp4 = MediaHeaders.parseMp4(MediaHeaders.buildMp4(seed)).get
+      assert((mp4.fmt, mp4.width, mp4.height) == ("mp4", w, h), s"mp4 dims seed=$seed")
+      assert(mp4.frames == MediaHeaders.framesFor(seed), s"mp4 stsz frames seed=$seed")
+      val mp4d = MediaHeaders.parseMp4Detail(MediaHeaders.buildMp4(seed)).get
+      assert(mp4d.durationMs == MediaHeaders.framesFor(seed) * 40,
+        s"mp4 mvhd duration seed=$seed") // timescale 1000, 25 fps
       // generic dispatch agrees with the per-format parsers
       assert(MediaHeaders.parse(MediaHeaders.buildPayload(seed)).isDefined)
     }
+    // MP4 truncation / non-BMFF bytes fall through to None, not crash
+    assert(MediaHeaders.parseMp4(MediaHeaders.buildMp4(3L).take(40)).isEmpty)
+    assert(MediaHeaders.parseMp4("RIFFxxxxWAVE but not a box tree".getBytes).isEmpty)
     // PNG IHDR is big-endian: a parser that read LE would get a garbled
     // width for any non-palindromic dimension — pin one literal
     val p = MediaHeaders.parsePng(MediaHeaders.buildPng(1L)).get
@@ -114,7 +123,22 @@ class PipelineSpec extends AnyFunSuite {
     // end-to-end over the docs table: every row decodes via the REAL parser
     val real = Multimodal.mediaMetaReal(spark, docs).collect()
     assert(real.length == docs.count())
-    assert(real.forall(r => Set("png", "jpeg", "gif", "wav").contains(r.getString(2))))
+    assert(real.forall(r => Set("png", "jpeg", "gif", "wav", "mp4").contains(r.getString(2))))
+    // video family: box-walk metadata + frame sampling from parsed stsz
+    val vid = Multimodal.mediaMetaVideo(spark, docs).collect()
+    assert(vid.length == docs.count())
+    assert(vid.forall { r =>
+      val id = r.getLong(0)
+      r.getLong(3) == 16 + java.lang.Math.floorMod(id * 7, 1024) &&
+        r.getLong(5) == MediaHeaders.framesFor(id) &&
+        r.getLong(6) == MediaHeaders.framesFor(id) * 40
+    })
+    val vframes = Multimodal.sampleFramesVideo(spark, docs).collect()
+    assert(vframes.forall(_.getLong(1) % 7 == 0))
+    val perDoc = vframes.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perDoc.forall { case (id, n) =>
+      n == (MediaHeaders.framesFor(id) - 1) / 7 + 1
+    })
   }
 
   test("near-dup clusters: label propagation finds components, min-id survivor") {
