@@ -111,6 +111,32 @@ class PipelineSpec extends AnyFunSuite {
     // MP4 truncation / non-BMFF bytes fall through to None, not crash
     assert(MediaHeaders.parseMp4(MediaHeaders.buildMp4(3L).take(40)).isEmpty)
     assert(MediaHeaders.parseMp4("RIFFxxxxWAVE but not a box tree".getBytes).isEmpty)
+    // version-1 boxes (64-bit times: mvhd +12 bytes before timescale,
+    // tkhd dims at +88) — hand-built, since the builder emits v0
+    locally {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 120 + 112)
+      bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      bb.putInt(8 + 120 + 112).put("moov".getBytes)
+      bb.putInt(120).put("mvhd".getBytes)
+      bb.putInt(0x01000000)            // version 1
+      bb.putLong(0L).putLong(0L)       // ctime, mtime u64
+      bb.putInt(90000)                 // timescale
+      bb.putLong(450000L)              // duration u64 → 5000 ms
+      (1 to 20).foreach(_ => bb.putInt(0)) // rate..next_track (layout tail)
+      bb.putInt(112).put("trak".getBytes)
+      bb.putInt(104).put("tkhd".getBytes)
+      bb.putInt(0x01000007)            // version 1, enabled flags
+      bb.putLong(0L).putLong(0L)       // ctime, mtime u64
+      bb.putInt(1).putInt(0)           // track_ID, reserved
+      bb.putLong(450000L)              // duration u64
+      bb.putLong(0L)                   // reserved
+      bb.putShort(0).putShort(0).putShort(0).putShort(0)
+      (1 to 9).foreach(_ => bb.putInt(0)) // matrix (content irrelevant here)
+      bb.putInt(640 << 16).putInt(360 << 16)
+      val m = MediaHeaders.parseMp4Detail(bb.array()).get
+      assert((m.width, m.height, m.durationMs) == (640L, 360L, 5000L))
+      assert(m.frames == 0L) // no stsz in this skeleton → honest zero
+    }
     // PNG IHDR is big-endian: a parser that read LE would get a garbled
     // width for any non-palindromic dimension — pin one literal
     val p = MediaHeaders.parsePng(MediaHeaders.buildPng(1L)).get

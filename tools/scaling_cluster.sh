@@ -59,6 +59,34 @@ if per < 300:
     sys.exit(3)
 EOF
 
+# Stage 2 (round-5 addition): the round-4 18:38 coda proved a passing
+# 4x1GiB probe does NOT protect a 4x19GB JVM fleet — the collapse is
+# TRIGGERED by fleet-sized concurrent heap faulting (~20 GC threads per
+# JVM pre-touching fresh heap). So probe with the real thing: 4
+# concurrent full-heap AlwaysPreTouch JVMs, each pre-touching the same
+# heap the executors below will use. Healthy DRAM pretouches >1 GB/s per
+# JVM; the degraded path measured 14 MB/s.
+echo "== preflight 2: fleet-sized fault storm (4x ${MEM}MB AlwaysPreTouch JVMs) =="
+STORM_T0=$(date +%s.%N)
+for i in 1 2 3 4; do
+  java -Xms"${MEM}"m -Xmx"${MEM}"m -XX:+AlwaysPreTouch -XX:+UseParallelGC -version >/dev/null 2>&1 &
+done
+wait
+STORM_T1=$(date +%s.%N)
+python3 - "$STORM_T0" "$STORM_T1" "$MEM" <<'EOF'
+import sys
+t = float(sys.argv[2]) - float(sys.argv[1])
+mem_mb = int(sys.argv[3])
+per = mem_mb / t  # MB/s per JVM (all 4 pretouch concurrently)
+print(f"   4x concurrent {mem_mb}MB JVM pretouch in {t:.1f}s: {per:.0f} MB/s per JVM")
+if per < 300:
+    print("   PREFLIGHT FAIL (fleet-sized): full-heap concurrent faulting is "
+          "degraded even though the small probe passed — exactly the round-4 "
+          "18:38 failure mode. Multi-JVM numbers on this box would measure "
+          "the sandbox's memory backend, not the engine.", file=sys.stderr)
+    sys.exit(3)
+EOF
+
 run_one() { # $1 = executor count
   local execs="$1"
   local cores=$((execs))  # 1 core per executor
