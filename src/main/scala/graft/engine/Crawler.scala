@@ -145,7 +145,8 @@ final class Crawler(
     */
   def run(job: Job, seeds0: DataFrame, scroll: Boolean, mode: AttrMode,
           callback: Option[(Int, DataFrame) => Boolean]): DataFrame = {
-    val store = config.checkpointDir.map(d => new FrontierStore(d)(spark))
+    val store = config.checkpointDir.map(d =>
+      new FrontierStore(d, config.seenCompactEvery)(spark))
     val resumed = store.flatMap(_.loadLatest())
 
     def robotsFilter(df: DataFrame): DataFrame =
@@ -866,6 +867,10 @@ object Crawler {
       // pacing machinery with a past epoch and sleep zero real time)
       paceClock: () => Long = () => System.currentTimeMillis(),
       checkpointDir: Option[String] = None,
+      // fold the store's per-round seen-delta chain into one base dir
+      // whenever it exceeds this many entries (LSM compaction; 0 = never).
+      // Resume then unions <= compactEvery+1 dirs instead of O(rounds).
+      seenCompactEvery: Int = 64,
       // per-page extraction wall-clock budget (L12, reference's per-step
       // chromedp timeout); 0 = unbounded. A page over budget becomes an
       // error = "timeout..." row, never a stage failure.

@@ -35,7 +35,8 @@ import java.nio.charset.StandardCharsets
   * SURVEY.md §7 #4). Legacy v1 manifests (full `seen` table per round)
   * still load.
   */
-final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
+final class FrontierStore(val dir: String, val compactEvery: Int = 64)(
+    implicit spark: SparkSession) {
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private val root = new Path(dir)
@@ -118,7 +119,22 @@ final class FrontierStore(val dir: String)(implicit spark: SparkSession) {
     writeBytes(new Path(base, "seen.schema.json"),
       seenDelta.schema.json.getBytes(StandardCharsets.UTF_8))
     // a re-committed round (crash replay) must not list its delta twice
-    val newDeltas = currentDeltaDirs().filterNot(_ == deltaDir.toString) :+ deltaDir.toString
+    val chain = currentDeltaDirs().filterNot(_ == deltaDir.toString) :+ deltaDir.toString
+    // LSM-style compaction: the delta chain would otherwise grow
+    // O(rounds) — a 10^4-round crawl's resume would union 10^4 parquet
+    // dirs and every FS listing walks them all. When the chain exceeds
+    // `compactEvery`, fold it into ONE base dir under this round
+    // (amortized O(|seen|/compactEvery) write per round — the standard
+    // LSM tradeoff against the old every-round O(|seen|) rewrite; the
+    // manifest swap stays atomic, and the superseded delta dirs remain
+    // on disk for any in-flight reader of an older manifest).
+    val newDeltas =
+      if (compactEvery > 0 && chain.size > compactEvery) {
+        val compactDir = new Path(base, "seen-compact")
+        spark.read.schema(seenDelta.schema).parquet(chain: _*)
+          .write.mode(SaveMode.Overwrite).parquet(compactDir.toString)
+        Seq(compactDir.toString)
+      } else chain
     val filesList = listParquet(new Path(base, "frontier")) ++ listParquet(deltaDir)
     val json = manifestJson(round, filesList, newDeltas, metrics, partitionMetrics)
     val tmp = new Path(qroot, s"manifest-$round.json.tmp")

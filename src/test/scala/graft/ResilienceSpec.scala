@@ -105,6 +105,26 @@ class ResilienceSpec extends AnyFunSuite {
     assert(snap.seen.count() == expectedSeen.size)
   }
 
+  test("frontier store: delta-chain compaction bounds resume fan-in, same seen set") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delta-compact").toString
+    // compactEvery=1: every commit past the first folds the chain to ONE dir
+    val out = new Crawler(spark, corpus,
+      Crawler.Config(checkpointDir = Some(tmp), seenCompactEvery = 1))
+      .crawl(CrawlQueries.listJob, seeds)
+    val expectedSeen = seenSet(out)
+
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "latest.json")), "UTF-8")
+    val nDeltas = """"seen_deltas"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .get.group(1).count(_ == '"') / 2
+    assert(nDeltas == 1, s"3-round crawl at compactEvery=1 must resume from ONE dir, got $nDeltas")
+
+    val snap = new graft.engine.FrontierStore(tmp)(spark).loadLatest().get
+    assert(storeSeen(snap.seen) == hashed(expectedSeen),
+      "compacted base must hold the identical URL-seen set")
+    assert(snap.seen.count() == expectedSeen.size, "compaction must not duplicate rows")
+  }
+
   // ---------------------------------------------------------------- shards
 
   test("shard RDD lineage is truncated (localCheckpoint honored through the round action)") {
