@@ -95,6 +95,67 @@ object PipelineQueries {
   def frameSample(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.sampleFrames(spark, docs(spark, sfDir))
 
+  // ------------------------------------------------------------- warc
+
+  /** Synthesize one ISO-28500 response record per doc, parse it BACK
+    * through the WARC + HTTP readers, and emit what the parsers — not a
+    * formula — recovered. The DuckDB oracle reconstructs the exact record
+    * byte lengths from the same ASCII templates (octet_length over the
+    * concatenated header strings), so any framing/offset bug in the
+    * reader breaks the hash.
+    */
+  def warcRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Warc
+    docs(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val url = graft.corpus.Fixtures.base(id) + "/page.html"
+          val body = s"<html><body><p>$text</p></body></html>"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val rec = Warc.buildResponseRecord(url, s"doc-$id", body)
+          val r = Warc.records(rec).next()
+          val http = Warc.parseHttp(r.payload).get
+          val inner = new String(http.body, java.nio.charset.StandardCharsets.US_ASCII)
+            .stripPrefix("<html><body><p>").stripSuffix("</p></body></html>")
+          (id, r.targetUri, r.warcType, http.status.toLong, http.contentType,
+            http.body.length.toLong, r.length, inner.take(40))
+        }
+      }
+      .toDF("doc_id", "url", "warc_type", "status", "mime", "body_bytes", "rec_len", "snippet")
+      .orderBy("doc_id")
+  }
+
+  /** CDX-style seek index over the synthetic WARC corpus: records are
+    * laid out 100 docs per file in doc_id order, and each record's
+    * offset is the windowed running sum of the PARSED record lengths
+    * within its file — the (file, offset, length) triple a 100 TB
+    * .warc.gz corpus needs for splittable parallel reads (each task
+    * seeks straight to its member). Window is PARTITIONED by file, so
+    * the cumulative sum distributes; no single-partition global window.
+    */
+  def warcCdx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Warc
+    import org.apache.spark.sql.expressions.Window
+    val recs = docs(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val url = graft.corpus.Fixtures.base(id) + "/page.html"
+          val body = s"<html><body><p>$text</p></body></html>"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val rec = Warc.buildResponseRecord(url, s"doc-$id", body)
+          val len = Warc.records(rec).next().length
+          (id, f"warc-${id / 100}%05d", len, url)
+        }
+      }.toDF("doc_id", "warc_file", "rec_len", "url")
+    val w = Window.partitionBy("warc_file").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    recs.withColumn("byte_offset", coalesce(sum(col("rec_len")).over(w), lit(0L)))
+      .select(col("doc_id"), col("warc_file"), col("byte_offset"), col("rec_len"), col("url"))
+      .orderBy("doc_id")
+  }
+
   def mediaMetaVideo(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.mediaMetaVideo(spark, docs(spark, sfDir))
 

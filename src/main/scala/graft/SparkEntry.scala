@@ -57,6 +57,8 @@ object SparkEntry {
     "media_meta" -> (PipelineQueries.mediaMeta(_, _)),
     "media_meta_real" -> (PipelineQueries.mediaMetaReal(_, _)),
     "media_meta_video" -> (PipelineQueries.mediaMetaVideo(_, _)),
+    "warc_read" -> (PipelineQueries.warcRead(_, _)),
+    "warc_cdx" -> (PipelineQueries.warcCdx(_, _)),
     "frame_sample" -> (PipelineQueries.frameSample(_, _)),
     "frame_sample_video" -> (PipelineQueries.frameSampleVideo(_, _)),
     // --- relational / windowed ---
@@ -309,6 +311,73 @@ object SparkEntry {
         |  CAST(1 + (doc_id*5)%240 AS BIGINT) AS frames,
         |  CAST((1 + (doc_id*5)%240) * 40 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY 1""".stripMargin,
+    // WARC (ISO 28500) round-trip: Spark frames each doc as a real
+    // response record and parses it back; the oracle rebuilds the exact
+    // ASCII record templates with chr(13)||chr(10) line ends and takes
+    // octet_length — any framing bug (header byte count, CRLF handling,
+    // Content-Length arithmetic) breaks rec_len and the hash
+    "warc_read" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    'http://h'||(doc_id%50)||'.test/d'||doc_id||'/page.html' AS url,
+        |    '<html><body><p>'||text||'</p></body></html>' AS body
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, text, url, body,
+        |    'HTTP/1.1 200 OK'||chr(13)||chr(10)||
+        |    'Content-Type: text/html; charset=utf-8'||chr(13)||chr(10)||
+        |    'Content-Length: '||octet_length(encode(body))||chr(13)||chr(10)||
+        |    chr(13)||chr(10)||body AS http
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, text, url, body, http,
+        |    'WARC/1.0'||chr(13)||chr(10)||
+        |    'WARC-Type: response'||chr(13)||chr(10)||
+        |    'WARC-Target-URI: '||url||chr(13)||chr(10)||
+        |    'WARC-Date: 2024-01-01T00:00:00Z'||chr(13)||chr(10)||
+        |    'WARC-Record-ID: <urn:uuid:doc-'||doc_id||'>'||chr(13)||chr(10)||
+        |    'Content-Type: application/http; msgtype=response'||chr(13)||chr(10)||
+        |    'Content-Length: '||octet_length(encode(http))||chr(13)||chr(10)||
+        |    chr(13)||chr(10) AS header
+        |  FROM h)
+        |SELECT doc_id, url, 'response' AS warc_type, CAST(200 AS BIGINT) AS status,
+        |  'text/html; charset=utf-8' AS mime,
+        |  CAST(octet_length(encode(body)) AS BIGINT) AS body_bytes,
+        |  CAST(octet_length(encode(header))+octet_length(encode(http))+4 AS BIGINT) AS rec_len,
+        |  substr(text,1,40) AS snippet
+        |FROM r ORDER BY 1""".stripMargin,
+    // CDX seek index: per-file (100 docs/file) running sum of the same
+    // reconstructed record lengths
+    "warc_cdx" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'http://h'||(doc_id%50)||'.test/d'||doc_id||'/page.html' AS url,
+        |    '<html><body><p>'||text||'</p></body></html>' AS body
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    'HTTP/1.1 200 OK'||chr(13)||chr(10)||
+        |    'Content-Type: text/html; charset=utf-8'||chr(13)||chr(10)||
+        |    'Content-Length: '||octet_length(encode(body))||chr(13)||chr(10)||
+        |    chr(13)||chr(10)||body AS http
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, url,
+        |    CAST(octet_length(encode('WARC/1.0'||chr(13)||chr(10)||
+        |    'WARC-Type: response'||chr(13)||chr(10)||
+        |    'WARC-Target-URI: '||url||chr(13)||chr(10)||
+        |    'WARC-Date: 2024-01-01T00:00:00Z'||chr(13)||chr(10)||
+        |    'WARC-Record-ID: <urn:uuid:doc-'||doc_id||'>'||chr(13)||chr(10)||
+        |    'Content-Type: application/http; msgtype=response'||chr(13)||chr(10)||
+        |    'Content-Length: '||octet_length(encode(http))||chr(13)||chr(10)||
+        |    chr(13)||chr(10))) + octet_length(encode(http)) + 4 AS BIGINT) AS rec_len
+        |  FROM h)
+        |SELECT doc_id,
+        |  'warc-'||lpad(CAST(doc_id//100 AS VARCHAR),5,'0') AS warc_file,
+        |  CAST(coalesce(sum(rec_len) OVER (PARTITION BY doc_id//100 ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS BIGINT) AS byte_offset,
+        |  rec_len, url
+        |FROM r ORDER BY 1""".stripMargin,
     // frame sampling over REAL parsed video metadata (stsz frame count),
     // not the stub byte-length formula
     "frame_sample_video" ->
