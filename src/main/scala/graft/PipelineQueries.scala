@@ -95,6 +95,9 @@ object PipelineQueries {
   def frameSample(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.sampleFrames(spark, docs(spark, sfDir))
 
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateSpans(docs(spark, sfDir))
+
   // ------------------------------------------------------------- warc
 
   /** Synthesize one ISO-28500 response record per doc, parse it BACK

@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh(_, _)),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),
     "dedup_clusters" -> (PipelineQueries.dedupClusters(_, _)),
+    "dedup_spans" -> (PipelineQueries.dedupSpans(_, _)),
     "ann_topk" -> (PipelineQueries.annTopK(_, _)),
     "ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "ann_ivf" -> (PipelineQueries.annIvf(_, _)),
@@ -311,6 +312,17 @@ object SparkEntry {
         |  CAST(1 + (doc_id*5)%240 AS BIGINT) AS frames,
         |  CAST((1 + (doc_id*5)%240) * 40 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY 1""".stripMargin,
+    // exact duplicate 8-word spans across documents (Lee et al.
+    // exact-substring dedup at fixed n): every window occurring in >= 2
+    // distinct docs, with position
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws)-8)) AS pos
+        |      FROM w WHERE len(ws) >= 8),
+        |s AS (SELECT doc_id, pos, array_to_string(ws[pos+1:pos+8],' ') AS span FROM p),
+        |d AS (SELECT span FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, span
+        |FROM s JOIN d USING (span) ORDER BY 1,2""".stripMargin,
     // WARC (ISO 28500) round-trip: Spark frames each doc as a real
     // response record and parses it back; the oracle rebuilds the exact
     // ASCII record templates with chr(13)||chr(10) line ends and takes

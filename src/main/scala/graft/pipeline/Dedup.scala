@@ -31,6 +31,44 @@ object Dedup {
       .select("keep_id", "n")
       .orderBy("keep_id")
 
+  /** Cross-document duplicate word-span detection — the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499), at fixed n-word granularity: every
+    * n-word window that occurs in ≥ 2 distinct documents, with its
+    * position, so a cleaner can cut repeated boilerplate spans out of
+    * training text (the C4/Dolma-style pass).
+    *
+    * Scale shape: the heavy shuffle keys are 8-byte xxhash64 span hashes,
+    * never span text (same no-text-in-shuffle discipline as [[exact]]);
+    * survivors — corpus-dependent but typically a tiny fraction — are
+    * then exact-verified by grouping on the span string itself, so a
+    * 64-bit collision cannot fabricate a duplicate.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
+          .as(Seq("pos", "span")))
+    val hashed = spans.withColumn("h", xxhash64(col("span")))
+    // pass 1: candidate hashes only (8-byte shuffle keys)
+    val dupHashes = hashed.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val survivors = hashed.join(dupHashes, Seq("h"))
+    // pass 2: exact-verify survivors on the span text (collision guard)
+    val dupSpans = survivors.groupBy("span")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("span")
+    survivors.join(dupSpans, Seq("span"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("span"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Character k-shingles of `text`, distinct per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"),

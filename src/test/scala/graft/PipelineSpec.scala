@@ -25,6 +25,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.agg(sum("n")).head.getLong(0) == docs.count())
   }
 
+  test("duplicate spans: shared 8-word windows found with exact positions") {
+    val s = spark
+    import s.implicits._
+    val mini = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),     // span at pos 0..2
+      (2L, "again the quick brown fox jumps over the lazy dog"),       // same span at pos 1..2
+      (3L, "completely different words that never repeat anywhere else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(mini).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val span = "the quick brown fox jumps over the lazy"
+    val span2 = "quick brown fox jumps over the lazy dog"
+    assert(out.contains((1L, 0L, span)) && out.contains((2L, 1L, span)))
+    assert(out.contains((1L, 1L, span2)) && out.contains((2L, 2L, span2)))
+    assert(!out.exists(_._1 == 3L), "unique doc contributes no duplicate span")
+    // every emitted span really occurs in >= 2 distinct docs
+    assert(out.groupBy(_._3).forall { case (_, rs) => rs.map(_._1).distinct.size >= 2 })
+    // the corpus-level query is non-trivial (the fixture near-dups share spans)
+    assert(Dedup.duplicateSpans(docs).limit(1).count() == 1)
+  }
+
   test("minhash LSH pairs == exact ngram jaccard pairs (verified recall)") {
     val exact = Dedup.ngramJaccardPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLshPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
