@@ -132,6 +132,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("xxhash64") && plan.contains("md5"))
   }
 
+  test("dedup spans: first (counting) exchange partitions on the 64-bit hash, not span text") {
+    val plan = PipelineQueries.dedupSpans(spark, sf).queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"), plan.take(1200))
+    // the candidate count aggregates on h (8-byte keys); the span string
+    // participates in aggregation only in the survivor-sized verify pass
+    val firstAggIdx = plan.indexOf("count(distinct doc_id")
+    assert(firstAggIdx >= 0, plan.take(1200))
+    val hKeyed = "\\[h#\\d+L\\], \\[h#\\d+L,".r.findFirstIn(plan).isDefined ||
+      plan.contains("[h#")
+    assert(hKeyed, "candidate-count aggregate must key on the hash column:\n" + plan.take(1500))
+  }
+
   test("crawl loop: ONE driver job per round (serial-floor contract)") {
     // The round-4 lever: extraction materializes through a LAZY persisted
     // RDD that the round's fused frontier-checkpoint+count job fills in
