@@ -70,6 +70,12 @@ object PipelineQueries {
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.fingerprint(docs(spark, sfDir))
 
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.repetitionStats(docs(spark, sfDir))
+
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.qualityFilter(docs(spark, sfDir))
+
   /** Boilerplate removal over the comment-family fixture pages: the
     * text-density heuristic must pick the comment list and drop the
     * pagination block — oracle reconstructs the exact innerText.

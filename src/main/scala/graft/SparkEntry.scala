@@ -55,6 +55,8 @@ object SparkEntry {
     "quality_score" -> (PipelineQueries.qualityScore(_, _)),
     "token_count" -> (PipelineQueries.tokenCount(_, _)),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
+    "repetition_stats" -> (PipelineQueries.repetitionStats(_, _)),
+    "quality_filter" -> (PipelineQueries.qualityFilter(_, _)),
     "media_meta" -> (PipelineQueries.mediaMeta(_, _)),
     "media_meta_real" -> (PipelineQueries.mediaMetaReal(_, _)),
     "media_meta_video" -> (PipelineQueries.mediaMetaVideo(_, _)),
@@ -272,6 +274,37 @@ object SparkEntry {
         |  CAST(CASE WHEN n_tokens < 10 THEN 0 WHEN n_tokens < 25 THEN 1
         |       WHEN stopword_hits > 0 THEN 3 ELSE 2 END AS BIGINT) AS quality_bucket
         |FROM q ORDER BY 1""".stripMargin,
+    "repetition_stats" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base),
+        |uc AS (SELECT doc_id, ts[i] AS g, count(*) AS c FROM pos GROUP BY 1,2),
+        |um AS (SELECT doc_id, count(*) AS nd, max(c) AS topu FROM uc GROUP BY 1),
+        |bc AS (SELECT doc_id, ts[i] || chr(1) || ts[i+1] AS g, count(*) AS c
+        |       FROM pos WHERE i+1 <= len(ts) GROUP BY 1,2),
+        |bm AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY 1),
+        |tc AS (SELECT doc_id, ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2] AS g, count(*) AS c
+        |       FROM pos WHERE i+2 <= len(ts) GROUP BY 1,2),
+        |tm AS (SELECT doc_id, max(c) AS topt FROM tc GROUP BY 1)
+        |SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens, um.nd AS distinct_tokens,
+        |  um.topu AS top_unigram, CAST(coalesce(bm.topb,0) AS BIGINT) AS top_bigram,
+        |  CAST(coalesce(tm.topt,0) AS BIGINT) AS top_trigram
+        |FROM base b JOIN um USING(doc_id) LEFT JOIN bm USING(doc_id) LEFT JOIN tm USING(doc_id)
+        |ORDER BY 1""".stripMargin,
+    "quality_filter" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS ts,
+        |        CAST(length(replace(text,' ','')) AS BIGINT) AS nc FROM documents),
+        |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base),
+        |uc AS (SELECT doc_id, ts[i] AS g, count(*) AS c FROM pos GROUP BY 1,2),
+        |um AS (SELECT doc_id, count(*) AS nd, max(c) AS topu FROM uc GROUP BY 1),
+        |r AS (SELECT b.doc_id,
+        |  (CASE WHEN len(b.ts) < 25 THEN 1 ELSE 0 END
+        |   + CASE WHEN b.nc*10 < len(b.ts)*38 OR b.nc*10 > len(b.ts)*46 THEN 2 ELSE 0 END
+        |   + CASE WHEN um.topu*5 > len(b.ts) THEN 4 ELSE 0 END
+        |   + CASE WHEN um.nd*3 < len(b.ts) THEN 8 ELSE 0 END) AS reasons
+        | FROM base b JOIN um USING(doc_id))
+        |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+        |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY 1""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(length(trim(text)) - length(replace(trim(text),' ','')) + 1 AS BIGINT) AS ws_tokens,

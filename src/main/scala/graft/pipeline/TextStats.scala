@@ -114,4 +114,84 @@ object TextStats {
     docs.select(col("doc_id"), f(col("text")).as("doc_hash"), wmin(col("text")).as("win_min"))
       .orderBy("doc_id")
   }
+
+  /** Gopher-style repetition signals (Rae et al., arXiv:2112.11446,
+    * Table A1) per document: whitespace token count, distinct tokens, and
+    * the occurrence count of the most frequent unigram / bigram / trigram.
+    *
+    * One map-only UDF pass with a per-row hash table: the grouping key
+    * (doc_id) is the row itself, so exploding tokens into a shuffle to
+    * compute per-doc maxima would pay an exchange for nothing — at 100 TB
+    * this operator must stay narrow. Split semantics match DuckDB
+    * `string_split(text, ' ')` exactly (`split(" ", -1)`: empties kept).
+    */
+  private def repStatsOf(text: String): RepStats = {
+    val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
+    def topCount(n: Int): Long = {
+      if (toks.length < n) 0L
+      else {
+        val m = new java.util.HashMap[String, java.lang.Long]()
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = i
+          while (j < i + n) { sb.append(toks(j)); sb.append('\u0001'); j += 1 }
+          val k = sb.toString
+          val prev = m.get(k)
+          m.put(k, if (prev == null) 1L else prev + 1L)
+          i += 1
+        }
+        var best = 0L
+        val it = m.values().iterator()
+        while (it.hasNext) { val v = it.next(); if (v > best) best = v }
+        best
+      }
+    }
+    var distinct = 0L
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { if (seen.add(toks(i))) distinct += 1; i += 1 }
+    RepStats(toks.length.toLong, distinct, topCount(1), topCount(2), topCount(3))
+  }
+
+  private val repStatsUdf = udf(repStatsOf _)
+
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), repStatsUdf(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.distinct_tokens").as("distinct_tokens"),
+        col("r.top_unigram").as("top_unigram"),
+        col("r.top_bigram").as("top_bigram"),
+        col("r.top_trigram").as("top_trigram"))
+      .orderBy("doc_id")
+
+  /** Composite Gopher/C4-style keep/drop decision with a reason bitmask.
+    * Bits: 1 = too short (<25 tokens), 2 = mean word length outside
+    * [3.8, 4.6] (×10 integer compare — no floats in the contract),
+    * 4 = most frequent unigram covers >20 % of tokens, 8 = distinct
+    * tokens under a third of tokens. `keep` = 1 iff no bit set. Pure
+    * integer arithmetic so any engine reproduces the mask bit-exactly;
+    * at scale the drop is applied as `filter(keep)` before any shuffle.
+    */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val nc = length(replace(col("text"), lit(" "))).cast("long")
+    val withR = docs.select(col("doc_id"), repStatsUdf(col("text")).as("r"), nc.as("nc"))
+    val nt = col("r.n_tokens")
+    val reasons =
+      when(nt < 25, 1L).otherwise(0L) +
+        when(col("nc") * 10 < nt * 38 || col("nc") * 10 > nt * 46, 2L).otherwise(0L) +
+        when(col("r.top_unigram") * 5 > nt, 4L).otherwise(0L) +
+        when(col("r.distinct_tokens") * 3 < nt, 8L).otherwise(0L)
+    withR.select(col("doc_id"), reasons.as("reasons"),
+        when(reasons === 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
 }
+
+/** Per-document repetition signals — top level (not nested in the object)
+  * so Catalyst's generated serializer can reference the accessor methods.
+  */
+case class RepStats(n_tokens: Long, distinct_tokens: Long,
+    top_unigram: Long, top_bigram: Long, top_trigram: Long)

@@ -105,6 +105,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 7 == 0))
   }
 
+  test("repetition stats: hand-computed n-gram maxima on a crafted doc") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a c": 6 tokens, 3 distinct, top uni = a(3),
+    // bigrams ab,ba,ab,ba,ac -> top 2; trigrams aba,bab,aba,bac -> top 2
+    val mini = Seq((1L, "a b a b a c"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(mini).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.contains((1L, 6L, 3L, 3L, 2L, 2L)))
+    // single token: no bigram/trigram windows -> 0
+    assert(out.contains((2L, 1L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("quality filter: each reason bit fires on a doc crafted to trip it") {
+    val s = spark
+    import s.implicits._
+    val longOk = (1 to 30).map(i => s"word$i").mkString(" ")    // 30 tokens, ~5.5 mean -> bit 2
+    val repetitive = (("spam " * 40).trim)                      // top unigram 100% -> bits 4+8 (+2: mean 4.0 is in range -> no)
+    val mini = Seq(
+      (1L, "short doc"),          // bit 1 (too short) + others possible
+      (2L, longOk),
+      (3L, repetitive)
+    ).toDF("doc_id", "text")
+    val rows = TextStats.qualityFilter(mini).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert((rows(1L)._1 & 1L) == 1L, "short doc trips bit 1")
+    assert(rows(1L)._2 == 0L)
+    assert((rows(2L)._1 & 2L) == 2L, "long mean word length trips bit 2")
+    assert((rows(3L)._1 & 4L) == 4L, "repetitive doc trips bit 4")
+    assert((rows(3L)._1 & 8L) == 8L, "repetitive doc trips bit 8")
+    // corpus-level: the sf docs split non-trivially (some keep, some drop)
+    val corpus = TextStats.qualityFilter(docs)
+    val kept = corpus.agg(sum("keep")).head.getLong(0)
+    assert(kept > 0 && kept < corpus.count())
+  }
+
   test("media headers: real PNG/JPEG/GIF/WAV bytes round-trip through the parser") {
     import graft.pipeline.MediaHeaders
     for (seed <- Seq(0L, 1L, 2L, 3L, 17L, 254L, 1023L, 99991L)) {
