@@ -160,6 +160,14 @@ object CrawlQueries {
       attrs = Some(Map("val" -> Selector()))),
     limit = 1)
 
+  /** Hub family: one page per doc, absolute cross-host hrefs (P4). */
+  val hubJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "ul#hublinks > li",
+      attrs = Some(Map("out" -> Selector(css = "a.out", attr = "href")))),
+    limit = 1)
+
   // ------------------------------------------------------------- helpers
 
   def crawler(spark: SparkSession, sfDir: String,
@@ -265,6 +273,24 @@ object CrawlQueries {
       .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"), col("url"))
       .distinct().orderBy("doc_id", "url")
   }
+
+  /** Host-level link graph from the hub family: hrefs extracted through
+    * the standard crawl expression (P4 absolutization), aggregated to
+    * weighted (src_host, dst_host) edges.
+    */
+  def linkGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/hub/index.html")
+    val links = crawler(spark, sfDir).crawl(hubJob, seeds)
+      .filter(col("item").isNotNull)
+      .select(col("url"), col("item.out").as("out"))
+    graft.pipeline.LinkGraph.hostEdges(links).orderBy("src_host", "dst_host")
+  }
+
+  /** Deterministic integer PageRank over the extracted host graph — the
+    * frontier-priority signal.
+    */
+  def pagerankHosts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.LinkGraph.pagerank(linkGraph(spark, sfDir))
 
   /** Sitemap seed discovery (engine.Sitemaps): every `<url>` entry of each
     * site's sitemap.xml, extracted through the standard Catalyst expression

@@ -37,6 +37,8 @@ object SparkEntry {
     "politeness_concurrency" -> (CrawlQueries.politenessConcurrency(_, _)),
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
     "sitemap_discover" -> (CrawlQueries.sitemapDiscover(_, _)),
+    "link_graph" -> (CrawlQueries.linkGraph(_, _)),
+    "pagerank_hosts" -> (CrawlQueries.pagerankHosts(_, _)),
     "stream_extract" -> (CrawlQueries.streamExtract(_, _)),
     "stream_metrics" -> (CrawlQueries.streamMetrics(_, _)),
     // --- training-data pipeline ops ---
@@ -175,6 +177,11 @@ object SparkEntry {
         |  'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
         |  '2024-0'||k||'-01' AS lastmod
         |FROM documents, generate_series(1,3) s(k) ORDER BY 1,2""".stripMargin,
+    "link_graph" ->
+      s"""WITH $linkGraphEdgesCte
+         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+         |FROM e0 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "pagerank_hosts" -> pagerankOracle(5),
     "crawl_metrics" -> crawlMetricsOracle,
     // streaming stateful agg over the same pages must land on the same counts
     "stream_metrics" -> crawlMetricsOracle,
@@ -565,6 +572,44 @@ object SparkEntry {
     """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** Edge reconstruction for the hub family (Fixtures.hubPage): doc d
+    * links to hubs of (d+1)%N, (d*2+7)%N, (d+N/2)%N plus its own list
+    * page — pure doc_id arithmetic.
+    */
+  private val linkGraphEdgesCte: String =
+    """nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (
+      |  SELECT 'h'||(doc_id%50)||'.test' AS src_host, 'h'||(((doc_id+1)%n)%50)||'.test' AS dst_host FROM documents, nn
+      |  UNION ALL
+      |  SELECT 'h'||(doc_id%50)||'.test', 'h'||(((doc_id*2+7)%n)%50)||'.test' FROM documents, nn
+      |  UNION ALL
+      |  SELECT 'h'||(doc_id%50)||'.test', 'h'||(((doc_id+n//2)%n)%50)||'.test' FROM documents, nn
+      |  UNION ALL
+      |  SELECT 'h'||(doc_id%50)||'.test', 'h'||(doc_id%50)||'.test' FROM documents)""".stripMargin
+
+  /** Integer fixed-point PageRank twin: K unrolled iteration CTEs with the
+    * exact `(85 * r * w) // (100 * outw)` arithmetic the Spark operator
+    * uses — any truncation or join discrepancy breaks the hash.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val head = new StringBuilder("WITH " + linkGraphEdgesCte + ",\n" +
+      """ew AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1,2),
+        |ow AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+        |hosts AS (SELECT DISTINCT src_host AS host FROM ew),
+        |hc AS (SELECT count(*) AS h FROM hosts),
+        |r0 AS (SELECT host, CAST(1000000000000 // hc.h AS BIGINT) AS rank FROM hosts, hc)""".stripMargin)
+    for (k <- 1 to iters) {
+      head.append(s""",
+        |c$k AS (SELECT ew.dst_host AS host, CAST(sum((85 * p.rank * ew.w) // (100 * ow.ow)) AS BIGINT) AS inmass
+        |        FROM ew JOIN r${k - 1} p ON p.host = ew.src_host JOIN ow ON ow.src_host = ew.src_host
+        |        GROUP BY 1),
+        |r$k AS (SELECT hosts.host, CAST((15 * (1000000000000 // hc.h)) // 100 + coalesce(c$k.inmass, 0) AS BIGINT) AS rank
+        |        FROM hosts CROSS JOIN hc LEFT JOIN c$k ON c$k.host = hosts.host)""".stripMargin)
+    }
+    head.append(s"\nSELECT host, rank FROM r$iters ORDER BY host")
+    head.toString
+  }
 
   private val crawlMetricsOracle: String =
     """SELECT 'h'||(doc_id%50)||'.test' AS host, count(*)*3 AS pages

@@ -181,6 +181,25 @@ object Fixtures {
     pages.result()
   }
 
+  /** Hub page: the cross-host link family backing the link-graph and
+    * PageRank queries. Doc d's hub links (class="out") to the hub pages of
+    * docs (d+1)%N, (d*2+7)%N and (d+N/2)%N — absolute cross-host hrefs —
+    * plus its own list page (a self-host edge), so the 50-host graph is
+    * strongly connected and every host has out-links (no dangling mass).
+    * All four targets are pure doc_id arithmetic the DuckDB oracle mirrors.
+    */
+  def hubPage(doc: Doc, nDocs: Long): Page = {
+    val d = doc.doc_id
+    val targets = Seq((d + 1) % nDocs, (d * 2 + 7) % nDocs, (d + nDocs / 2) % nDocs)
+    val items = targets.map(e =>
+      s"""<li><a class="out" href="${base(e)}/hub/index.html">hub $e</a></li>""").mkString +
+      s"""<li><a class="out" href="${base(d)}/list/p1.html">own list</a></li>"""
+    Page(s"${base(d)}/hub/index.html", ts(d, 90),
+      s"""<html><head><title>hub $d</title></head><body><ul id="hublinks">$items</ul></body></html>"""
+        .getBytes("UTF-8"),
+      snip(doc.text), doc.lang)
+  }
+
   private val cache = scala.collection.mutable.Map[String, DataFrame]()
 
   /** The fixture corpus for an sf dir, cached per session+dir. */
@@ -189,7 +208,8 @@ object Fixtures {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("doc_id", "text", "lang").as[Doc]
-      val df = docs.flatMap(pagesForDoc _).toDF()
+      val n = docs.count()
+      val df = docs.flatMap(d => pagesForDoc(d) :+ hubPage(d, n)).toDF()
       df.cache()
       df.count() // materialize once
       df

@@ -141,6 +141,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept > 0 && kept < corpus.count())
   }
 
+  test("pagerank: integer fixed-point ranks — symmetry, mass bound, determinism") {
+    val s = spark
+    import s.implicits._
+    // symmetric 2-cycle: equal ranks; star a->b,c (b,c sink to a)
+    val sym = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("src_host", "dst_host", "n_links")
+    val r1 = LinkGraph.pagerank(sym, iters = 5).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(r1.length == 2 && r1(0)._2 == r1(1)._2, "symmetric graph -> equal ranks")
+    // mass conserved up to truncation: sum <= scale, and close to it
+    val total = r1.map(_._2).sum
+    assert(total <= 1000000000000L && total > 999999990000L)
+    // a hub pointed at by both others (which split their mass) outranks them
+    val star = Seq(("A", "B", 1L), ("C", "B", 1L), ("B", "B", 1L),
+      ("A", "A", 1L), ("C", "C", 1L)).toDF("src_host", "dst_host", "n_links")
+    val r2 = LinkGraph.pagerank(star, iters = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2("B") > r2("A") && r2("B") > r2("C"))
+    // determinism: re-running the same plan yields the identical vector
+    val r2b = LinkGraph.pagerank(star, iters = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r2 == r2b)
+  }
+
   test("media headers: real PNG/JPEG/GIF/WAV bytes round-trip through the parser") {
     import graft.pipeline.MediaHeaders
     for (seed <- Seq(0L, 1L, 2L, 3L, 17L, 254L, 1023L, 99991L)) {
