@@ -119,7 +119,11 @@ object Bench {
       one("lang_id", PipelineQueries.langId(spark, sfDir)),
       one("token_count", PipelineQueries.tokenCount(spark, sfDir)),
       one("q1_agg", PipelineQueries.q1Agg(spark, sfDir)),
-      one("q_events_window", PipelineQueries.qEventsWindow(spark, sfDir))
+      one("q_events_window", PipelineQueries.qEventsWindow(spark, sfDir)),
+      // round 5: Gopher repetition pass (map-only UDF) and the host-graph
+      // PageRank (5 iterations of shuffle-by-dst over extracted edges)
+      one("repetition_stats", PipelineQueries.repetitionStats(spark, sfDir)),
+      one("pagerank_hosts", CrawlQueries.pagerankHosts(spark, sfDir))
     )
   }
 

@@ -41,10 +41,16 @@ object LinkGraph {
     * from truncation simply decays (standard simplification).
     */
   def pagerank(edges: DataFrame, iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
-    val hosts = edges.select(col("src_host").as("host")).distinct()
+    // Cache the edge input and the host dimension ONCE: the iteration loop
+    // references both in every contribution plan, and without the cache
+    // each of the `iters` subplans would re-run the upstream edge
+    // extraction (a full crawl in the link_graph pipeline). The host count
+    // below materializes both, so the loop only ever scans memory.
+    val e = edges.cache()
+    val hosts = e.select(col("src_host").as("host")).distinct().cache()
     val h = hosts.count() // bounded: the host dimension, one scalar job
-    val ew = edges
-      .join(edges.groupBy("src_host").agg(sum("n_links").as("ow")), "src_host")
+    val ew = e
+      .join(e.groupBy("src_host").agg(sum("n_links").as("ow")), "src_host")
       .select(col("src_host"), col("dst_host"), col("n_links"), col("ow"))
       .cache()
     val base = (15L * (scale / h)) / 100L
