@@ -55,6 +55,22 @@ final class Crawler(
   def crawl(job: Job, seeds: Seq[(String, String)] = Nil): DataFrame =
     run(job, seedFrame(job, seeds), scroll = false, mode = JsProperty)
 
+  /** Priority-frontier entry: seeds arrive as a DataFrame carrying an
+    * explicit `priority` column (lower crawls first) — the north-star
+    * frontier-table shape, where the seed list is itself a table (e.g.
+    * priorities derived from `LinkGraph.pagerank` host ranks) rather than
+    * a driver-side Seq. With `Config.batchLimit` set, each round takes the
+    * highest-priority slice; successors inherit `priority + 1`, so a
+    * high-priority site's pagination still outranks low-priority seeds.
+    */
+  def crawlPrioritized(job: Job, seeds: DataFrame): DataFrame =
+    run(job,
+      seeds.select(col("seed_id"), col("url"),
+          col("priority").cast("int").as("priority"))
+        .withColumn("page_no", lit(1))
+        .withColumn("cursor", lit(0)),
+      scroll = false, mode = JsProperty)
+
   /** `Rabida.CrawlScroll` (`svc.go:136-144`): load-more crawl with cursor
     * dedup — only items past the cursor are extracted each round
     * (`svcimpl_scroll.go:363-376`).
@@ -200,8 +216,12 @@ final class Crawler(
         frontier = s.frontier
         frontierCount = frontier.count()
       case None =>
+        // seed priority: an explicit column (crawlPrioritized) wins over
+        // the default all-zeros (plain BFS depth ordering)
+        val seedPrio: org.apache.spark.sql.Column =
+          if (seeds0.columns.contains("priority")) col("priority") else lit(0)
         val (chk, n) = B.localCheckpointWithCount(
-          enrich(robotsFilter(applyStartPageBtn(job, seeds0)), lit(0)))
+          enrich(robotsFilter(applyStartPageBtn(job, seeds0)), seedPrio))
         frontier = chk
         frontierCount = n
     }

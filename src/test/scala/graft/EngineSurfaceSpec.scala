@@ -73,6 +73,34 @@ class EngineSurfaceSpec extends AnyFunSuite {
     assert(titles.forall(_.matches("Doc \\d+ item \\d-\\d")))
   }
 
+  test("pagerank-primed priority frontier crawls top-ranked hosts in round one") {
+    val s = spark
+    import s.implicits._
+    val many = (0L until 12L).map(d => Fixtures.Doc(d, "alpha beta gamma delta epsilon", "en"))
+    val corpus12 = many.flatMap(Fixtures.pagesForDoc).toDF()
+    // host graph: every host links to h0 and itself -> h0 is the top rank
+    val edges = (0L until 12L).flatMap { d =>
+      Seq((Fixtures.host(d), Fixtures.host(0L), 1L), (Fixtures.host(d), Fixtures.host(d), 1L))
+    }.toDF("src_host", "dst_host", "n_links")
+    val ranks = graft.pipeline.LinkGraph.pagerank(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val prio = ranks.sortBy(r => (-r._2, r._1)).zipWithIndex
+      .map { case ((h, _), i) => (h, i) }.toMap
+    assert(prio(Fixtures.host(0L)) == 0, "hub host tops the rank order")
+    val seedDf = many.map { doc =>
+      (s"d${doc.doc_id}", s"${Fixtures.base(doc.doc_id)}/list/p1.html",
+        prio(Fixtures.host(doc.doc_id)))
+    }.toDF("seed_id", "url", "priority")
+    val out = new Crawler(spark, corpus12,
+      Crawler.Config(batchLimit = Some(3), maxRounds = 1))
+      .crawlPrioritized(CrawlQueries.listJob, seedDf)
+    val crawled = out.select("seed_id").distinct().collect().map(_.getString(0)).toSet
+    val top3 = many.map(d => (s"d${d.doc_id}", prio(Fixtures.host(d.doc_id))))
+      .sortBy(_._2).take(3).map(_._1).toSet
+    assert(crawled == top3,
+      s"round one must fetch exactly the top-priority slice: got $crawled want $top3")
+  }
+
   test("batch-limited priority frontier crawls everything over more rounds") {
     val full = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
       .filter(col("item").isNotNull)
