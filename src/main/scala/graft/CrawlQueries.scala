@@ -165,7 +165,9 @@ object CrawlQueries {
     link = "",
     cssSelector = Selector(
       scope = "ul#hublinks > li",
-      attrs = Some(Map("out" -> Selector(css = "a.out", attr = "href")))),
+      attrs = Some(Map(
+        "out" -> Selector(css = "a.out", attr = "href"),   // P4 absolute href
+        "anchor" -> Selector(css = "a.out")))),            // P2 innerText
     limit = 1)
 
   // ------------------------------------------------------------- helpers
@@ -291,6 +293,27 @@ object CrawlQueries {
     */
   def pagerankHosts(spark: SparkSession, sfDir: String): DataFrame =
     graft.pipeline.LinkGraph.pagerank(linkGraph(spark, sfDir))
+
+  /** Anchor-text aggregation per target host — the other classic link
+    * signal (what the web calls a page, aggregated where a search or
+    * quality pipeline wants it: on the TARGET). Both the href and its
+    * innerText come from one pass of the standard extraction expression;
+    * the aggregation carries only (dst_host, anchor) pairs, never page
+    * bytes, and `sort_array` makes the concatenated digest order-stable
+    * under any shuffle.
+    */
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/hub/index.html")
+    crawler(spark, sfDir).crawl(hubJob, seeds)
+      .filter(col("item").isNotNull)
+      .select(
+        regexp_extract(col("item.out"), "http://([^/]+)/", 1).as("dst_host"),
+        col("item.anchor").as("anchor"))
+      .groupBy("dst_host")
+      .agg(count(lit(1)).as("n_anchors"),
+        concat_ws("|", sort_array(collect_list(col("anchor")))).as("anchors_sorted"))
+      .orderBy("dst_host")
+  }
 
   /** Sitemap seed discovery (engine.Sitemaps): every `<url>` entry of each
     * site's sitemap.xml, extracted through the standard Catalyst expression

@@ -39,6 +39,7 @@ object SparkEntry {
     "sitemap_discover" -> (CrawlQueries.sitemapDiscover(_, _)),
     "link_graph" -> (CrawlQueries.linkGraph(_, _)),
     "pagerank_hosts" -> (CrawlQueries.pagerankHosts(_, _)),
+    "anchor_text" -> (CrawlQueries.anchorText(_, _)),
     "stream_extract" -> (CrawlQueries.streamExtract(_, _)),
     "stream_metrics" -> (CrawlQueries.streamMetrics(_, _)),
     // --- training-data pipeline ops ---
@@ -182,6 +183,16 @@ object SparkEntry {
          |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
          |FROM e0 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "pagerank_hosts" -> pagerankOracle(5),
+    "anchor_text" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |a0 AS (
+        |  SELECT 'h'||(((doc_id+1)%n)%50)||'.test' AS dst_host, 'hub '||((doc_id+1)%n) AS anchor FROM documents, nn
+        |  UNION ALL SELECT 'h'||(((doc_id*2+7)%n)%50)||'.test', 'hub '||((doc_id*2+7)%n) FROM documents, nn
+        |  UNION ALL SELECT 'h'||(((doc_id+n//2)%n)%50)||'.test', 'hub '||((doc_id+n//2)%n) FROM documents, nn
+        |  UNION ALL SELECT 'h'||(doc_id%50)||'.test', 'own list' FROM documents)
+        |SELECT dst_host, CAST(count(*) AS BIGINT) AS n_anchors,
+        |  string_agg(anchor, '|' ORDER BY anchor) AS anchors_sorted
+        |FROM a0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "crawl_metrics" -> crawlMetricsOracle,
     // streaming stateful agg over the same pages must land on the same counts
     "stream_metrics" -> crawlMetricsOracle,
