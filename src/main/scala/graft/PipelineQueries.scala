@@ -104,6 +104,16 @@ object PipelineQueries {
   def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.duplicateSpans(docs(spark, sfDir))
 
+  /** Decontamination demo split: docs with doc_id % 7 == 0 play the
+    * held-out benchmark, the rest are the training corpus.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    Dedup.contamination(
+      d.filter(col("doc_id") % 7 =!= 0),
+      d.filter(col("doc_id") % 7 === 0))
+  }
+
   // ------------------------------------------------------------- warc
 
   /** Synthesize one ISO-28500 response record per doc, parse it BACK

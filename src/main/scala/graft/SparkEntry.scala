@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_simhash" -> (PipelineQueries.dedupSimhash(_, _)),
     "dedup_clusters" -> (PipelineQueries.dedupClusters(_, _)),
     "dedup_spans" -> (PipelineQueries.dedupSpans(_, _)),
+    "decontaminate" -> (PipelineQueries.decontaminate(_, _)),
     "ann_topk" -> (PipelineQueries.annTopK(_, _)),
     "ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "ann_ivf" -> (PipelineQueries.annIvf(_, _)),
@@ -374,6 +375,16 @@ object SparkEntry {
         |d AS (SELECT span FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, span
         |FROM s JOIN d USING (span) ORDER BY 1,2""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws)-8)) AS pos
+        |      FROM w WHERE len(ws) >= 8),
+        |s AS (SELECT doc_id, pos, array_to_string(ws[pos+1:pos+8],' ') AS span FROM p),
+        |b AS (SELECT DISTINCT span FROM s WHERE doc_id % 7 = 0),
+        |t AS (SELECT doc_id, pos, span FROM s WHERE doc_id % 7 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM t JOIN b USING (span) GROUP BY 1 ORDER BY 1""".stripMargin,
     // WARC (ISO 28500) round-trip: Spark frames each doc as a real
     // response record and parses it back; the oracle rebuilds the exact
     // ASCII record templates with chr(13)||chr(10) line ends and takes

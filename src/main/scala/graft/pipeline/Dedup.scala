@@ -69,6 +69,34 @@ object Dedup {
       .orderBy("doc_id", "pos")
   }
 
+  /** Benchmark decontamination (the GPT-3 Appendix-C / Lee et al. 2021
+    * pipeline step): flag every training document sharing at least one
+    * n-word span with a held-out benchmark set, with hit count and first
+    * position so a cleaner can cut or drop. Same no-text-in-shuffle
+    * discipline as [[duplicateSpans]]: the candidate join carries 8-byte
+    * xxhash64 keys, and hash survivors are re-verified on the span text so
+    * a 64-bit collision cannot fabricate contamination. The benchmark span
+    * side is tiny relative to a 100 TB corpus — Catalyst broadcasts it —
+    * so the corpus side never shuffles at all.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def spansOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
+          .as(Seq("pos", "span")))
+      .withColumn("h", xxhash64(col("span")))
+    val benchSpans = spansOf(benchmark)
+      .select(col("h"), col("span").as("bspan")).distinct()
+    spansOf(docs).join(benchSpans, Seq("h"))
+      .filter(col("span") === col("bspan")) // collision guard on the text
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Character k-shingles of `text`, distinct per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"),

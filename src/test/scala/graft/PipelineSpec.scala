@@ -105,6 +105,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 7 == 0))
   }
 
+  test("decontamination: shared 8-word spans vs a benchmark set, counted at exact positions") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different words that never repeat anywhere else at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "again the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val df = Dedup.contamination(train, bench)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 spans at pos 0 and 1 appear verbatim in the benchmark doc
+    assert(out.toSeq == Seq((1L, 2L, 0L)))
+    // the benchmark span side must broadcast — the corpus side never shuffles
+    assert(df.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "benchmark spans should be the broadcast side of the candidate join")
+  }
+
   test("repetition stats: hand-computed n-gram maxima on a crafted doc") {
     val s = spark
     import s.implicits._
