@@ -33,6 +33,14 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial aggregation expected")
   }
 
+  test("repetition_stats: map-only — the only exchange is the output ordering") {
+    val plan = planOf(PipelineQueries.repetitionStats(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "per-doc n-gram maxima must not shuffle tokens — the UDF pass is map-local")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"at most the final rangepartitioning exchange expected:\n${plan.take(1500)}")
+  }
+
   test("ann_topk: query-side filter pushed to parquet scan") {
     val plan = planOf(PipelineQueries.annTopK(spark, sf))
     assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,20)"),
