@@ -76,6 +76,25 @@ object PipelineQueries {
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.qualityFilter(docs(spark, sfDir))
 
+  /** Streaming twin of `quality_filter`: the document stream flows through
+    * the SAME per-row flag computation at ingest time (filter at the
+    * lake's front door, store only keepers) — must reproduce the batch
+    * reason bitmask bit-exactly under the shared oracle.
+    */
+  def streamQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.types._
+    val dir = EventStreams.stagingDir("docsq", sfDir)
+    docs(spark, sfDir).select("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 4)
+      .parquet(dir)
+    EventStreams.runToMemory(spark, TextStats.qualityFlags(stream), "stream_quality_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate removal over the comment-family fixture pages: the
     * text-density heuristic must pick the comment list and drop the
     * pagination block — oracle reconstructs the exact innerText.

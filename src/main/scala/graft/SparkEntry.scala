@@ -42,6 +42,7 @@ object SparkEntry {
     "anchor_text" -> (CrawlQueries.anchorText(_, _)),
     "stream_extract" -> (CrawlQueries.streamExtract(_, _)),
     "stream_metrics" -> (CrawlQueries.streamMetrics(_, _)),
+    "stream_quality" -> (PipelineQueries.streamQuality(_, _)),
     // --- training-data pipeline ops ---
     "dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard(_, _)),
@@ -309,21 +310,9 @@ object SparkEntry {
         |  CAST(coalesce(tm.topt,0) AS BIGINT) AS top_trigram
         |FROM base b JOIN um USING(doc_id) LEFT JOIN bm USING(doc_id) LEFT JOIN tm USING(doc_id)
         |ORDER BY 1""".stripMargin,
-    "quality_filter" ->
-      """WITH base AS (SELECT doc_id, string_split(text,' ') AS ts,
-        |        CAST(length(replace(text,' ','')) AS BIGINT) AS nc FROM documents),
-        |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base),
-        |uc AS (SELECT doc_id, ts[i] AS g, count(*) AS c FROM pos GROUP BY 1,2),
-        |um AS (SELECT doc_id, count(*) AS nd, max(c) AS topu FROM uc GROUP BY 1),
-        |r AS (SELECT b.doc_id,
-        |  (CASE WHEN len(b.ts) < 25 THEN 1 ELSE 0 END
-        |   + CASE WHEN b.nc*10 < len(b.ts)*38 OR b.nc*10 > len(b.ts)*46 THEN 2 ELSE 0 END
-        |   + CASE WHEN um.topu*5 > len(b.ts) THEN 4 ELSE 0 END
-        |   + CASE WHEN um.nd*3 < len(b.ts) THEN 8 ELSE 0 END) AS reasons
-        | FROM base b JOIN um USING(doc_id))
-        |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
-        |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM r ORDER BY 1""".stripMargin,
+    "quality_filter" -> qualityFilterOracle,
+    // ingest-time twin: identical bitmask from the streaming pass
+    "stream_quality" -> qualityFilterOracle,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(length(trim(text)) - length(replace(trim(text),' ','')) + 1 AS BIGINT) AS ws_tokens,
@@ -488,6 +477,22 @@ object SparkEntry {
   // polynomial (h*257+c) mod 2^31-1 via list_reduce, and the FNV-1a
   // 8-char winnowing min via HUGEINT mod-2^64 arithmetic with the final
   // value reinterpreted as a signed 64-bit long (Scala's Long compare).
+  private val qualityFilterOracle: String =
+    """WITH base AS (SELECT doc_id, string_split(text,' ') AS ts,
+      |        CAST(length(replace(text,' ','')) AS BIGINT) AS nc FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base),
+      |uc AS (SELECT doc_id, ts[i] AS g, count(*) AS c FROM pos GROUP BY 1,2),
+      |um AS (SELECT doc_id, count(*) AS nd, max(c) AS topu FROM uc GROUP BY 1),
+      |r AS (SELECT b.doc_id,
+      |  (CASE WHEN len(b.ts) < 25 THEN 1 ELSE 0 END
+      |   + CASE WHEN b.nc*10 < len(b.ts)*38 OR b.nc*10 > len(b.ts)*46 THEN 2 ELSE 0 END
+      |   + CASE WHEN um.topu*5 > len(b.ts) THEN 4 ELSE 0 END
+      |   + CASE WHEN um.nd*3 < len(b.ts) THEN 8 ELSE 0 END) AS reasons
+      | FROM base b JOIN um USING(doc_id))
+      |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+      |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM r ORDER BY 1""".stripMargin
+
   private val docFingerprintOracle: String =
     """WITH wins AS (
       |  SELECT doc_id, substr(text, CAST(unnest(generate_series(1, length(text)-7)) AS INT), 8) AS win

@@ -175,7 +175,14 @@ object TextStats {
     * integer arithmetic so any engine reproduces the mask bit-exactly;
     * at scale the drop is applied as `filter(keep)` before any shuffle.
     */
-  def qualityFilter(docs: DataFrame): DataFrame = {
+  def qualityFilter(docs: DataFrame): DataFrame =
+    qualityFlags(docs).orderBy("doc_id")
+
+  /** The stream-safe core of [[qualityFilter]] (no output ordering): a
+    * pure per-row map, so it runs identically at ingest time over a page
+    * stream — filter at the lake's front door, store only keepers.
+    */
+  def qualityFlags(docs: DataFrame): DataFrame = {
     val nc = length(replace(col("text"), lit(" "))).cast("long")
     val withR = docs.select(col("doc_id"), repStatsUdf(col("text")).as("r"), nc.as("nc"))
     val nt = col("r.n_tokens")
@@ -185,8 +192,7 @@ object TextStats {
         when(col("r.top_unigram") * 5 > nt, 4L).otherwise(0L) +
         when(col("r.distinct_tokens") * 3 < nt, 8L).otherwise(0L)
     withR.select(col("doc_id"), reasons.as("reasons"),
-        when(reasons === 0, 1L).otherwise(0L).as("keep"))
-      .orderBy("doc_id")
+      when(reasons === 0, 1L).otherwise(0L).as("keep"))
   }
 }
 
