@@ -76,6 +76,9 @@ object PipelineQueries {
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.qualityFilter(docs(spark, sfDir))
 
+  def tfidfTop(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.tfidfTop(docs(spark, sfDir))
+
   /** Streaming twin of `quality_filter`: the document stream flows through
     * the SAME per-row flag computation at ingest time (filter at the
     * lake's front door, store only keepers) — must reproduce the batch

@@ -62,6 +62,7 @@ object SparkEntry {
     "doc_fingerprint" -> (PipelineQueries.docFingerprint(_, _)),
     "repetition_stats" -> (PipelineQueries.repetitionStats(_, _)),
     "quality_filter" -> (PipelineQueries.qualityFilter(_, _)),
+    "tfidf_top" -> (PipelineQueries.tfidfTop(_, _)),
     "media_meta" -> (PipelineQueries.mediaMeta(_, _)),
     "media_meta_real" -> (PipelineQueries.mediaMetaReal(_, _)),
     "media_meta_video" -> (PipelineQueries.mediaMetaVideo(_, _)),
@@ -313,6 +314,14 @@ object SparkEntry {
     "quality_filter" -> qualityFilterOracle,
     // ingest-time twin: identical bitmask from the streaming pass
     "stream_quality" -> qualityFilterOracle,
+    "tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1,2),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |top AS (SELECT doc_id, tok, tf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, tok ASC) AS rn FROM tf)
+        |SELECT t.doc_id, t.tok AS top_term, t.tf, dfq.df
+        |FROM top t JOIN dfq USING (tok) WHERE t.rn = 1 ORDER BY t.doc_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(length(trim(text)) - length(replace(trim(text),' ','')) + 1 AS BIGINT) AS ws_tokens,

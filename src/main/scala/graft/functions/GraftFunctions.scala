@@ -5,7 +5,7 @@ import graft.css.Css
 import graft.engine.Robots
 import graft.extract.{Extractor, JsProperty}
 import graft.html.{HElem, Serializer, Text}
-import graft.pipeline.{Dedup, MainContent, VecDot}
+import graft.pipeline.{Dedup, MainContent, TextStats, VecDot}
 import graft.urls.Urls
 import graft.xpath.XPathAttr
 
@@ -87,6 +87,10 @@ object GraftFunctions {
     // --- pipeline sketches ---
     u.register("graft_simhash64", (text: String) =>
       nn(text)(java.lang.Long.valueOf(Dedup.simhash64Value(text))))
+    u.register("graft_quality_reasons", (text: String) =>
+      nn(text)(java.lang.Long.valueOf(TextStats.qualityReasonsValue(text))))
+    u.register("graft_rep_top", (text: String, n: Int) =>
+      nn(text)(java.lang.Long.valueOf(TextStats.repTopValue(text, n))))
   }
 
   /** Native codegen expressions, registered through the FunctionRegistry

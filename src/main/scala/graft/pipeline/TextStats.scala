@@ -157,6 +157,57 @@ object TextStats {
 
   private val repStatsUdf = udf(repStatsOf _)
 
+  /** Scalar twin of [[qualityFilter]]'s reason bitmask for the SQL surface
+    * (`graft_quality_reasons`): identical integer arithmetic, with the
+    * non-space character count done in codepoints to match SQL `length`.
+    */
+  def qualityReasonsValue(text: String): Long = {
+    val r = repStatsOf(text)
+    var nc = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (cp != ' '.toInt) nc += 1
+      i += Character.charCount(cp)
+    }
+    val nt = r.n_tokens
+    (if (nt < 25) 1L else 0L) +
+      (if (nc * 10 < nt * 38 || nc * 10 > nt * 46) 2L else 0L) +
+      (if (r.top_unigram * 5 > nt) 4L else 0L) +
+      (if (r.distinct_tokens * 3 < nt) 8L else 0L)
+  }
+
+  /** Scalar top n-gram occurrence count (`graft_rep_top`). */
+  def repTopValue(text: String, n: Int): Long = {
+    val r = repStatsOf(text)
+    n match {
+      case 1 => r.top_unigram
+      case 2 => r.top_bigram
+      case 3 => r.top_trigram
+      case _ => 0L
+    }
+  }
+
+  /** TF-IDF's integer core, per document: the highest-tf term (ties break
+    * to the lexicographically smallest term — fully deterministic) with
+    * its in-doc term frequency and corpus document frequency. The idf
+    * logarithm is left to the caller: floats are kept out of the contract,
+    * and (tf, df) is the part that needs the corpus-wide shuffle.
+    * Shuffles only (doc_id, token) pairs; the window is per-doc.
+    */
+  def tfidfTop(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("tok").asc)
+    tf.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .join(dfreq, "tok")
+      .select(col("doc_id"), col("tok").as("top_term"), col("tf"), col("df"))
+      .orderBy("doc_id")
+  }
+
   def repetitionStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), repStatsUdf(col("text")).as("r"))
       .select(col("doc_id"),

@@ -79,6 +79,25 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(one(s"SELECT graft_simhash64('$t')") === graft.pipeline.Dedup.simhash64Value(t))
   }
 
+  test("graft_quality_reasons / graft_rep_top agree with the DataFrame operators") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("docs_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality_reasons(text) AS reasons,
+        |  graft_rep_top(text, 1) AS top1, graft_rep_top(text, 3) AS top3
+        |FROM docs_sqlfn ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val viaDf = graft.pipeline.TextStats.qualityFilter(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaRep = graft.pipeline.TextStats.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(5)))).toMap
+    viaSql.foreach { case (id, reasons, top1, top3) =>
+      assert(reasons == viaDf(id), s"reasons mismatch for doc $id")
+      assert((top1, top3) == viaRep(id), s"rep_top mismatch for doc $id")
+    }
+  }
+
   test("vec_dot from SQL is the native codegen expression") {
     // literal inputs constant-fold (already proof of a native expression —
     // Scala UDFs never fold); non-literal inputs show VecDot in the plan
