@@ -33,6 +33,37 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial aggregation expected")
   }
 
+  test("bucketed corpus ⋈ bucketed frontier: fetch join with ZERO exchanges") {
+    // The 10^9-row-frontier deployment shape: when the corpus lake and the
+    // frontier snapshots are both bucketed by url, the fetch join is
+    // co-located — no side shuffles, ever. (The in-engine alternatives are
+    // broadcast, for small batches, and shuffle-hash; this pins the third.)
+    val corpus = graft.corpus.Fixtures.corpus(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS corpus_bucketed")
+      spark.sql("DROP TABLE IF EXISTS frontier_bucketed")
+      corpus.write.format("parquet").bucketBy(8, "url").sortBy("url")
+        .option("path", s"$tmp/corpus").saveAsTable("corpus_bucketed")
+      val frontier = corpus.select("url").sample(0.3, 42)
+      frontier.write.format("parquet").bucketBy(8, "url").sortBy("url")
+        .option("path", s"$tmp/frontier").saveAsTable("frontier_bucketed")
+      val joined = spark.table("frontier_bucketed")
+        .join(spark.table("corpus_bucketed"), "url")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1200)}")
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle either side:\n${plan.take(1200)}")
+      assert(joined.count() == frontier.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS corpus_bucketed")
+      spark.sql("DROP TABLE IF EXISTS frontier_bucketed")
+    }
+  }
+
   test("repetition_stats: map-only — the only exchange is the output ordering") {
     val plan = planOf(PipelineQueries.repetitionStats(spark, sf))
     assert(!plan.contains("Exchange hashpartitioning"),
