@@ -326,6 +326,16 @@ object CrawlQueries {
         col("pos").cast("long").as("pos"), col("url"), col("lastmod"))
       .orderBy("doc_id", "pos")
 
+  /** Sitemap-index recursion: every url reachable through each host's
+    * `<sitemapindex>` file, with the two-level publisher ordering.
+    */
+  def sitemapIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Sitemaps.discoverIndexed(Fixtures.corpus(spark, sfDir))
+      .select(col("index_url"),
+        col("sitemap_pos").cast("long").as("sitemap_pos"),
+        col("pos").cast("long").as("pos"), col("url"), col("lastmod"))
+      .orderBy("index_url", "sitemap_pos", "pos")
+
   /** Structured Streaming twin of the list extraction: the fixture corpus
     * staged as a parquet directory is consumed as a file-source stream
     * (micro-batches of 4 files — the continuous-ingest shape, each batch a

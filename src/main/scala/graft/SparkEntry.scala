@@ -37,6 +37,7 @@ object SparkEntry {
     "politeness_concurrency" -> (CrawlQueries.politenessConcurrency(_, _)),
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
     "sitemap_discover" -> (CrawlQueries.sitemapDiscover(_, _)),
+    "sitemap_index" -> (CrawlQueries.sitemapIndex(_, _)),
     "link_graph" -> (CrawlQueries.linkGraph(_, _)),
     "pagerank_hosts" -> (CrawlQueries.pagerankHosts(_, _)),
     "anchor_text" -> (CrawlQueries.anchorText(_, _)),
@@ -181,6 +182,13 @@ object SparkEntry {
         |  'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
         |  '2024-0'||k||'-01' AS lastmod
         |FROM documents, generate_series(1,3) s(k) ORDER BY 1,2""".stripMargin,
+    "sitemap_index" ->
+      """SELECT 'http://h'||(doc_id%50)||'.test/sitemap_index.xml' AS index_url,
+        |  CAST(doc_id//50 AS BIGINT) AS sitemap_pos,
+        |  k-1 AS pos,
+        |  'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
+        |  '2024-0'||k||'-01' AS lastmod
+        |FROM documents, generate_series(1,3) s(k) ORDER BY 1,2,3""".stripMargin,
     "link_graph" ->
       s"""WITH $linkGraphEdgesCte
          |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links

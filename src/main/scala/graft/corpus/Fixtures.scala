@@ -200,6 +200,21 @@ object Fixtures {
       snip(doc.text), doc.lang)
   }
 
+  /** Host-level sitemap index (sitemaps.org `<sitemapindex>` protocol):
+    * host h{d}.test (owned by doc d < 50) lists the per-doc sitemaps of
+    * every doc on that host — docs d, d+50, d+100, … < N in that order, so
+    * the index position is doc/50. Pure arithmetic for the oracle.
+    */
+  def hostSitemapIndex(doc: Doc, nDocs: Long): Option[Page] =
+    if (doc.doc_id >= 50) None
+    else Some {
+      val entries = (doc.doc_id until nDocs by 50).map(e =>
+        s"<sitemap><loc>${base(e)}/sitemap.xml</loc></sitemap>").mkString
+      Page(s"http://${host(doc.doc_id)}/sitemap_index.xml", ts(doc.doc_id, 91),
+        s"""<?xml version="1.0" encoding="UTF-8"?><sitemapindex>$entries</sitemapindex>"""
+          .getBytes("UTF-8"), "", doc.lang)
+    }
+
   private val cache = scala.collection.mutable.Map[String, DataFrame]()
 
   /** The fixture corpus for an sf dir, cached per session+dir. */
@@ -209,7 +224,8 @@ object Fixtures {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("doc_id", "text", "lang").as[Doc]
       val n = docs.count()
-      val df = docs.flatMap(d => pagesForDoc(d) :+ hubPage(d, n)).toDF()
+      val df = docs.flatMap(d =>
+        (pagesForDoc(d) :+ hubPage(d, n)) ++ hostSitemapIndex(d, n)).toDF()
       df.cache()
       df.count() // materialize once
       df

@@ -48,4 +48,37 @@ object Sitemaps {
       // on its own host)
       .filter(expr("parse_url(sitemap_url, 'HOST') = parse_url(url, 'HOST')"))
   }
+
+  private val indexJob: Job = Job(
+    link = "",
+    cssSelector = Selector(
+      scope = "sitemapindex > sitemap",
+      attrs = Some(Map("loc" -> Selector(css = "loc")))))
+
+  /** Sitemap-index recursion (sitemaps.org `<sitemapindex>` files, the
+    * layout large sites actually publish): index entries extract through
+    * the same expression, then the referenced sitemap documents resolve by
+    * joining them back from the corpus — the cross-document join shape the
+    * iframe path uses. The refs side is tiny (one row per listed sitemap),
+    * so Catalyst broadcasts it; urlset extraction stays map-local.
+    * Output: (index_url, sitemap_pos, pos, url, lastmod) — two-level
+    * publisher ordering for the frontier's priority column.
+    */
+  def discoverIndexed(corpus: DataFrame): DataFrame = {
+    val xi = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0),
+      indexJob, JsProperty, scroll = false)
+    val resolve = udf { (base: String, loc: String) =>
+      if (loc == null) null else graft.urls.Urls.resolve(base, loc.trim)
+    }
+    val refs = corpus.filter(col("url").endsWith("/sitemap_index.xml"))
+      .select(col("url").as("index_url"), xi.as("x"))
+      .select(col("index_url"), posexplode(col("x.items")).as(Seq("sitemap_pos", "item")))
+      .select(col("index_url"), col("sitemap_pos"),
+        resolve(col("index_url"), col("item.loc")).as("sitemap_url"))
+      .filter(col("sitemap_url").isNotNull)
+      // same-host discipline applies to index entries too
+      .filter(expr("parse_url(index_url, 'HOST') = parse_url(sitemap_url, 'HOST')"))
+    refs.join(discover(corpus), Seq("sitemap_url"))
+      .select(col("index_url"), col("sitemap_pos"), col("pos"), col("url"), col("lastmod"))
+  }
 }
