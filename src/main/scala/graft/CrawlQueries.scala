@@ -276,6 +276,29 @@ object CrawlQueries {
       .distinct().orderBy("doc_id", "url")
   }
 
+  /** Priority-frontier slice under the DuckDB gate: seeds carry priority
+    * doc_id % 10 (50 seeds per level at sf0.01), batchLimit cuts exactly
+    * at a priority boundary (2 levels × 50 seeds), maxRounds=1 — so round
+    * one fetches precisely the docs with priority 0 or 1 and the oracle
+    * needs no knowledge of the intra-level (host_bucket) tiebreak.
+    */
+  def crawlPrioritized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seedDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      .map(d => (s"d$d", s"${Fixtures.base(d)}/list/p1.html", (d % 10).toInt))
+      .toDF("seed_id", "url", "priority")
+    val levels = 2
+    val perLevel = seedDf.count() / 10
+    new Crawler(spark, Fixtures.corpus(spark, sfDir),
+      Crawler.Config(batchLimit = Some(levels * perLevel), maxRounds = 1))
+      .crawlPrioritized(listJob, seedDf)
+      .filter(col("item").isNotNull)
+      .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),
+        col("pos").cast("long").as("pos"), col("item.title").as("title"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Host-level link graph from the hub family: hrefs extracted through
     * the standard crawl expression (P4 absolutization), aggregated to
     * weighted (src_host, dst_host) edges.

@@ -38,6 +38,7 @@ object SparkEntry {
     "crawl_metrics" -> (CrawlQueries.crawlMetrics(_, _)),
     "sitemap_discover" -> (CrawlQueries.sitemapDiscover(_, _)),
     "sitemap_index" -> (CrawlQueries.sitemapIndex(_, _)),
+    "crawl_prioritized" -> (CrawlQueries.crawlPrioritized(_, _)),
     "link_graph" -> (CrawlQueries.linkGraph(_, _)),
     "pagerank_hosts" -> (CrawlQueries.pagerankHosts(_, _)),
     "anchor_text" -> (CrawlQueries.anchorText(_, _)),
@@ -182,6 +183,12 @@ object SparkEntry {
         |  'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
         |  '2024-0'||k||'-01' AS lastmod
         |FROM documents, generate_series(1,3) s(k) ORDER BY 1,2""".stripMargin,
+    // priority frontier, round one: exactly the two lowest priority levels
+    "crawl_prioritized" ->
+      """SELECT doc_id, i-1 AS pos, 'Doc '||doc_id||' item 1-'||i AS title
+        |FROM documents, generate_series(1,4) s(i)
+        |WHERE doc_id % 10 <= 1
+        |ORDER BY 1,2""".stripMargin,
     "sitemap_index" ->
       """SELECT 'http://h'||(doc_id%50)||'.test/sitemap_index.xml' AS index_url,
         |  CAST(doc_id//50 AS BIGINT) AS sitemap_pos,
