@@ -288,10 +288,12 @@ object CrawlQueries {
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
       .map(d => (s"d$d", s"${Fixtures.base(d)}/list/p1.html", (d % 10).toInt))
       .toDF("seed_id", "url", "priority")
-    val levels = 2
-    val perLevel = seedDf.count() / 10
+    // cut from the ACTUAL level populations (doc counts need not divide
+    // evenly by 10) so the batch boundary always falls between levels and
+    // the oracle never depends on the intra-level host_bucket tiebreak
+    val cut = seedDf.filter(col("priority") <= 1).count()
     new Crawler(spark, Fixtures.corpus(spark, sfDir),
-      Crawler.Config(batchLimit = Some(levels * perLevel), maxRounds = 1))
+      Crawler.Config(batchLimit = Some(cut), maxRounds = 1))
       .crawlPrioritized(listJob, seedDf)
       .filter(col("item").isNotNull)
       .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),

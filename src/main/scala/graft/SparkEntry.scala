@@ -647,12 +647,12 @@ object SparkEntry {
     val head = new StringBuilder("WITH " + linkGraphEdgesCte + ",\n" +
       """ew AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1,2),
         |ow AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
-        |hosts AS (SELECT DISTINCT src_host AS host FROM ew),
+        |hosts AS (SELECT src_host AS host FROM ew UNION SELECT dst_host FROM ew),
         |hc AS (SELECT count(*) AS h FROM hosts),
         |r0 AS (SELECT host, CAST(1000000000000 // hc.h AS BIGINT) AS rank FROM hosts, hc)""".stripMargin)
     for (k <- 1 to iters) {
       head.append(s""",
-        |c$k AS (SELECT ew.dst_host AS host, CAST(sum((85 * p.rank * ew.w) // (100 * ow.ow)) AS BIGINT) AS inmass
+        |c$k AS (SELECT ew.dst_host AS host, CAST(sum((ew.w * ((85 * p.rank) // ow.ow)) // 100) AS BIGINT) AS inmass
         |        FROM ew JOIN r${k - 1} p ON p.host = ew.src_host JOIN ow ON ow.src_host = ew.src_host
         |        GROUP BY 1),
         |r$k AS (SELECT hosts.host, CAST((15 * (1000000000000 // hc.h)) // 100 + coalesce(c$k.inmass, 0) AS BIGINT) AS rank

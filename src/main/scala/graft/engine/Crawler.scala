@@ -141,12 +141,15 @@ final class Crawler(
       else Selector(css = q, attr = job.startPageBtn.attr)
     val btnJob = Job(link = "", cssSelector = Selector(css = "graft-no-items"), paginator = btnSel)
     val x = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0), btnJob, JsProperty, scroll = false)
+    // preserve any extra seed columns (crawlPrioritized's priority) so the
+    // L7 rewrite composes with the priority-frontier entry
+    val keep = (if (seeds.columns.contains("priority")) Seq(col("priority")) else Nil)
     val withBtn = seeds.join(corpusPages, Seq("url"), "left")
       .withColumn("x", x)
       .withColumn("btn_url", col("x.next_page_url"))
-      .select(col("seed_id"),
+      .select(Seq(col("seed_id"),
         when(col("btn_url").isNotNull && length(col("btn_url")) > 0, col("btn_url")).otherwise(col("url")).as("url"),
-        col("page_no"), col("cursor"))
+        col("page_no"), col("cursor")) ++ keep: _*)
     withBtn
   }
 

@@ -31,12 +31,17 @@ object Sitemaps {
     * the sitemap's own url (sitemaps must not reference foreign hosts —
     * enforced here as the spec requires).
     */
+  /** Shared loc resolver: `<loc>` values absolutize against the document
+    * that declared them (one definition — the urlset and sitemapindex
+    * paths must never diverge on resolution/trim semantics).
+    */
+  private val resolve = udf { (base: String, loc: String) =>
+    if (loc == null) null else graft.urls.Urls.resolve(base, loc.trim)
+  }
+
   def discover(corpus: DataFrame): DataFrame = {
     val x = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0),
       sitemapJob, JsProperty, scroll = false)
-    val resolve = udf { (base: String, loc: String) =>
-      if (loc == null) null else graft.urls.Urls.resolve(base, loc.trim)
-    }
     corpus.filter(col("url").endsWith("/sitemap.xml"))
       .select(col("url").as("sitemap_url"), x.as("x"))
       .select(col("sitemap_url"), posexplode(col("x.items")).as(Seq("pos", "item")))
@@ -67,9 +72,6 @@ object Sitemaps {
   def discoverIndexed(corpus: DataFrame): DataFrame = {
     val xi = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0),
       indexJob, JsProperty, scroll = false)
-    val resolve = udf { (base: String, loc: String) =>
-      if (loc == null) null else graft.urls.Urls.resolve(base, loc.trim)
-    }
     val refs = corpus.filter(col("url").endsWith("/sitemap_index.xml"))
       .select(col("url").as("index_url"), xi.as("x"))
       .select(col("index_url"), posexplode(col("x.items")).as(Seq("sitemap_pos", "item")))

@@ -41,23 +41,38 @@ object LinkGraph {
     * from truncation simply decays (standard simplification).
     */
   def pagerank(edges: DataFrame, iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
-    // Cache the edge input and the host dimension ONCE: the iteration loop
-    // references both in every contribution plan, and without the cache
-    // each of the `iters` subplans would re-run the upstream edge
-    // extraction (a full crawl in the link_graph pipeline). The host count
-    // below materializes both, so the loop only ever scans memory.
-    val e = edges.cache()
-    val hosts = e.select(col("src_host").as("host")).distinct().cache()
+    val B = org.apache.spark.sql.GraftSqlBridge
+    // Persist the edge input and the host dimension ONCE via lazyCache
+    // (RDD-level persist, NOT Dataset.cache): the iteration loop references
+    // both in every contribution plan, and without the persist each of the
+    // `iters` subplans would re-run the upstream edge extraction (a full
+    // crawl in the link_graph pipeline). Dataset.cache would leak strong
+    // CacheManager entries per call AND plan-fragment-match across calls —
+    // the exact failure lazyCache's scaladoc documents; RDD persists are
+    // cleaned by the ContextCleaner when the result goes unreachable.
+    val e = B.lazyCache(edges)
+    // hosts = src ∪ dst: a sink host (in-links, no out-links) still gets a
+    // rank row — its inbound mass lands, it just contributes none onward
+    // (the documented dangling-mass-decays simplification).
+    val hosts = B.lazyCache(
+      e.select(col("src_host").as("host"))
+        .union(e.select(col("dst_host").as("host"))).distinct())
     val h = hosts.count() // bounded: the host dimension, one scalar job
-    val ew = e
+    val ew = B.lazyCache(e
       .join(e.groupBy("src_host").agg(sum("n_links").as("ow")), "src_host")
-      .select(col("src_host"), col("dst_host"), col("n_links"), col("ow"))
-      .cache()
+      .select(col("src_host"), col("dst_host"), col("n_links"), col("ow")))
     val base = (15L * (scale / h)) / 100L
     var rank = hosts.select(col("host"), lit(scale / h).as("rank"))
     for (_ <- 1 to iters) {
+      // overflow-safe damping: divide by out-weight BEFORE multiplying by
+      // the edge weight. 85*rank <= 85*scale and w*((85*rank) div ow) <=
+      // 85*rank (since w <= ow), so no intermediate exceeds ~8.5e13 at the
+      // default scale — `85*rank*w` would wrap Long once rank*w passed
+      // ~1.1e17 (a heavy host pair at web scale). The DuckDB oracle uses
+      // the identical factored arithmetic.
       val contrib = ew.join(rank, ew("src_host") === rank("host"))
-        .select(col("dst_host"), expr("(85 * rank * n_links) div (100 * ow)").as("c"))
+        .select(col("dst_host"),
+          expr("(n_links * ((85 * rank) div ow)) div 100").as("c"))
         .groupBy("dst_host").agg(sum("c").as("inmass"))
       rank = hosts.join(contrib, hosts("host") === contrib("dst_host"), "left")
         .select(hosts("host"), (lit(base) + coalesce(col("inmass"), lit(0L))).as("rank"))

@@ -162,6 +162,9 @@ object TextStats {
     * non-space character count done in codepoints to match SQL `length`.
     */
   def qualityReasonsValue(text: String): Long = {
+    // null text matches the DataFrame twin: zero tokens -> bit 1 only
+    // (the nc comparisons are null there, so no other bit can fire)
+    if (text == null) return 1L
     val r = repStatsOf(text)
     var nc = 0L
     var i = 0

@@ -101,6 +101,30 @@ class EngineSurfaceSpec extends AnyFunSuite {
       s"round one must fetch exactly the top-priority slice: got $crawled want $top3")
   }
 
+  test("crawlPrioritized composes with StartPageBtn (priority survives the L7 rewrite)") {
+    val s = spark
+    import s.implicits._
+    import graft.extract.{Job, Selector}
+    val pages = Seq(
+      ("http://pb.test/home1.html", """<html><body><div class="entry"><a href="list1.html">go</a></div></body></html>"""),
+      ("http://pb.test/list1.html", """<html><body><ul id="l"><li>one</li></ul></body></html>"""),
+      ("http://pb.test/home2.html", """<html><body><div class="entry"><a href="list2.html">go</a></div></body></html>"""),
+      ("http://pb.test/list2.html", """<html><body><ul id="l"><li>two</li></ul></body></html>""")
+    ).map { case (u, h) => (u, new java.sql.Timestamp(0L), h.getBytes("UTF-8"), "", "en") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val job = Job(link = "",
+      cssSelector = Selector(scope = "#l > li", attrs = Some(Map("t" -> Selector()))),
+      startPageBtn = Selector(css = "div.entry a", attr = "href"))
+    val seedDf = Seq(("s1", "http://pb.test/home1.html", 1), ("s2", "http://pb.test/home2.html", 0))
+      .toDF("seed_id", "url", "priority")
+    val out = new Crawler(spark, pages, Crawler.Config(batchLimit = Some(1), maxRounds = 1))
+      .crawlPrioritized(job, seedDf)
+    val items = out.filter(col("item").isNotNull).select("seed_id", "item.t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // only the priority-0 seed crawls in round one, via its rewritten entry url
+    assert(items.toSeq == Seq(("s2", "two")))
+  }
+
   test("batch-limited priority frontier crawls everything over more rounds") {
     val full = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
       .filter(col("item").isNotNull)
