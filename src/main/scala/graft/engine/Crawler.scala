@@ -239,6 +239,13 @@ final class Crawler(
     }
     var round = resumed.map(_.round).getOrElse(0)
     val perRound = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // persisted-pages replay (Config.persistPages): pre-crash rounds'
+    // pages reload from the store, so the resumed crawl's result equals
+    // the uninterrupted crawl's — nothing extracted before the failure is
+    // lost with the dead executors' cache blocks
+    if (config.persistPages)
+      for (st <- store; snap <- resumed; pre <- st.loadPages(snap.round))
+        perRound += pre
 
     // async snapshot commits: round N's parquet write + manifest rename
     // overlap round N+1's compute (Spark schedules jobs from both threads
@@ -665,14 +672,22 @@ final class Crawler(
               succ.join(remainder.select("seed_id", "url_hash"), Seq("seed_id", "url_hash"), "left_anti"))
           else succ)
       }
-      // mid-crawl executor-loss recovery: the shard RDD is locally
+      // mid-crawl SHARD-loss recovery: the shard RDD is locally
       // checkpointed (lineage truncated), so losing one of its blocks —
-      // executor death, routine on a 1000-executor fleet — fails the
-      // round's job instead of recomputing. The durable authority is the
-      // `seen` table: drop the dead shard generation, rebuild the shards
-      // from `seen` via the same backfill path resume uses, and re-run
-      // the round's checkpoint. Any non-block-loss failure propagates on
-      // the retry.
+      // eviction, disk failure, or an executor death whose other blocks
+      // survived — fails the round's job instead of recomputing. The
+      // in-memory authority is the `seen` table: drop the dead shard
+      // generation, rebuild the shards from `seen` via the same backfill
+      // path resume uses, and re-run the round's checkpoint. SCOPE: this
+      // recovers exactly the case where `seen`'s own backing blocks are
+      // intact. A real executor death usually takes frontier/batch blocks
+      // (also locally checkpointed) down with the shards — then the
+      // rebuild fails the same way, and the sound recovery is the durable
+      // store: the second-level catch drains pending snapshot commits (so
+      // the on-disk manifest chain is consistent through the last
+      // committed round) and fails with an actionable resume pointer
+      // instead of a raw block-loss stack.
+      val skippedBeforeAttempt = prefilterSkipped.value
       val (chk, n) =
         try dedupAndCheckpoint()
         catch {
@@ -681,8 +696,30 @@ final class Crawler(
             cuckooPrev.foreach(_.unpersist(blocking = false))
             cuckooRdd = None
             cuckooPrev = None
+            // Spark applies accumulator updates from the failed attempt's
+            // SUCCESSFUL tasks; the retry re-runs the whole plan, so
+            // without a reset the pruning metric double-counts
+            prefilterSkipped.reset()
+            prefilterSkipped.add(skippedBeforeAttempt)
             insertIntoCuckoo(seen) // full backfill: seen already includes this round's batch
-            dedupAndCheckpoint()
+            try dedupAndCheckpoint()
+            catch {
+              case t2: Throwable if Crawler.looksLikeBlockLoss(t2) =>
+                t2.addSuppressed(t)
+                throw new Crawler.BlockLossUnrecoverable(
+                  config.checkpointDir match {
+                    case Some(d) =>
+                      s"executor loss took the crawl's in-memory state (seen/frontier blocks), " +
+                        s"not just the URL-seen shards; in-process rebuild is impossible. " +
+                        s"Durable snapshots at '$d' are consistent — re-invoke crawl with the " +
+                        s"same checkpointDir to resume from round ${round - 1}."
+                    case None =>
+                      "executor loss took the crawl's in-memory state (seen/frontier blocks), " +
+                        "not just the URL-seen shards; in-process rebuild is impossible and no " +
+                        "checkpointDir is configured. Set Config.checkpointDir to make " +
+                        "mid-crawl executor loss resumable."
+                  }, t2)
+            }
         }
       frontier = chk
       frontierCount = n
@@ -707,6 +744,10 @@ final class Crawler(
             val partMetrics = cPages.groupBy(spark_partition_id().as("p")).count()
               .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
             val fetchedCount = cPages.count()
+            // pages snapshot rides the same ordered commit, BEFORE the
+            // manifest rename (committed manifest => pages dir complete);
+            // reads the round's already-cached lazyCache blocks
+            if (config.persistPages) st.commitPages(cRound, cPages)
             st.commit(cRound, cFrontier, cNewSeen,
               Seq("pages_fetched" -> fetchedCount,
                 // fetch misses (url absent from corpus ≙ 404/timeout lineage)
@@ -827,6 +868,14 @@ object UserAgents {
 
 object Crawler {
 
+  /** Block loss that in-process recovery cannot repair (the rebuild
+    * source itself lost blocks). The durable-store commits are drained
+    * before this surfaces, so when a checkpointDir is configured the
+    * on-disk snapshot chain is consistent and `crawl` resumes from it.
+    */
+  final class BlockLossUnrecoverable(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
   /** Does this failure chain look like a lost cached/checkpointed block
     * (executor death, eviction, or an unpersisted local checkpoint)?
     * Spark surfaces task failures as a SparkException whose MESSAGE embeds
@@ -894,6 +943,16 @@ object Crawler {
       // whenever it exceeds this many entries (LSM compaction; 0 = never).
       // Resume then unions <= compactEvery+1 dirs instead of O(rounds).
       seenCompactEvery: Int = 64,
+      // also snapshot each round's extracted PAGES to the store
+      // (data/round=N/pages) and replay pre-crash rounds' pages into a
+      // resumed crawl's result — the resumed result then equals the
+      // uninterrupted crawl's, so executor loss mid-crawl loses nothing
+      // (frontier/seen snapshots alone recover the LOOP but not pages
+      // already extracted, whose lazyCache blocks died with the fleet).
+      // Off by default: live crawls typically drain pages per round via
+      // the callback/sinks, and the store then only needs frontier+seen
+      // (O(batch-url) commits, not O(batch-page-bytes)).
+      persistPages: Boolean = false,
       // per-page extraction wall-clock budget (L12, reference's per-step
       // chromedp timeout); 0 = unbounded. A page over budget becomes an
       // error = "timeout..." row, never a stage failure.

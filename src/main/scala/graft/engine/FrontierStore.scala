@@ -81,11 +81,24 @@ final class FrontierStore(val dir: String, val compactEvery: Int = 64)(
     val latest = new Path(qroot, "latest.json")
     val dirs =
       if (!fs.exists(latest)) Seq.empty[String]
-      else parseSeenDeltas(new String(readBytes(latest), StandardCharsets.UTF_8))
-        .getOrElse(Seq.empty)
+      else {
+        val json = new String(readBytes(latest), StandardCharsets.UTF_8)
+        parseSeenDeltas(json).getOrElse(legacySeenDir(json).toSeq)
+      }
     deltaDirs = Some(dirs)
     dirs
   }
+
+  /** Legacy v1 (full-seen) manifest: the round's `data/round=N/seen` table
+    * IS the chain's base — it must seed `deltaDirs`, or the first post-
+    * upgrade commit would list only its own delta and every pre-upgrade
+    * url would resurface as unseen after the next resume.
+    */
+  private def legacySeenDir(json: String): Option[String] =
+    """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+      .map(r => new Path(qroot, s"data/round=$r/seen"))
+      .filter(fs.exists)
+      .map(_.toString)
 
   /** Commit round N. `seenDelta` is ONLY the round's newly-seen rows: the
     * store appends it as an immutable per-round delta dir and the manifest
@@ -126,16 +139,19 @@ final class FrontierStore(val dir: String, val compactEvery: Int = 64)(
     // `compactEvery`, fold it into ONE base dir under this round
     // (amortized O(|seen|/compactEvery) write per round — the standard
     // LSM tradeoff against the old every-round O(|seen|) rewrite; the
-    // manifest swap stays atomic, and the superseded delta dirs remain
-    // on disk for any in-flight reader of an older manifest).
+    // manifest swap stays atomic).
+    val compacted = compactEvery > 0 && chain.size > compactEvery
     val newDeltas =
-      if (compactEvery > 0 && chain.size > compactEvery) {
+      if (compacted) {
         val compactDir = new Path(base, "seen-compact")
         spark.read.schema(seenDelta.schema).parquet(chain: _*)
           .write.mode(SaveMode.Overwrite).parquet(compactDir.toString)
         Seq(compactDir.toString)
       } else chain
-    val filesList = listParquet(new Path(base, "frontier")) ++ listParquet(deltaDir)
+    // on a compaction round the manifest's file list cites the compacted
+    // base (the delta dir it folded in is about to be GC'd)
+    val filesList = listParquet(new Path(base, "frontier")) ++
+      (if (compacted) listParquet(new Path(newDeltas.head)) else listParquet(deltaDir))
     val json = manifestJson(round, filesList, newDeltas, metrics, partitionMetrics)
     val tmp = new Path(qroot, s"manifest-$round.json.tmp")
     writeBytes(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -145,6 +161,56 @@ final class FrontierStore(val dir: String, val compactEvery: Int = 64)(
     atomicOverwriteRename(tmp2, new Path(qroot, "latest.json"))
     // only after the manifest rename (the commit point) does the chain advance
     deltaDirs = Some(newDeltas)
+    // GC the superseded chain AFTER the commit point: without it every
+    // compaction leaks the ~compactEvery folded delta dirs plus the
+    // previous compacted base — ~rounds/compactEvery full copies of the
+    // seen table at the 10^10-url design point. The store is single-
+    // writer and readers open `latest.json`, so once the rename lands no
+    // NEW reader can reach the superseded dirs; a crash between rename
+    // and GC only leaks (the next compaction does not re-list them, and
+    // leaked dirs are never referenced). Deletion is best-effort and
+    // confined to this store's data/ tree.
+    if (compacted) {
+      val dataRoot = new Path(qroot, "data").toString
+      chain.foreach { d =>
+        if (d.startsWith(dataRoot))
+          try fs.delete(new Path(d), true) catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Snapshot round N's extracted pages (Config.persistPages). Written
+    * BEFORE the round's manifest rename, so a committed manifest implies
+    * its pages dir is complete; a crash between the two leaves an
+    * unreferenced dir that the round's replay overwrites.
+    */
+  def commitPages(round: Int, pages: DataFrame): Unit = {
+    val dir = new Path(qroot, s"data/round=$round/pages")
+    pages.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    writeBytes(new Path(qroot, s"data/round=$round/pages.schema.json"),
+      pages.schema.json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Union of all committed pages snapshots for rounds <= upToRound
+    * (one multi-path parquet read); None when no round persisted pages.
+    */
+  def loadPages(upToRound: Int): Option[DataFrame] = {
+    val rounds = manifestRounds().filter(_ <= upToRound)
+    val dirs = rounds.map(r => new Path(qroot, s"data/round=$r/pages"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) None
+    else {
+      val sp = rounds.reverseIterator
+        .map(r => new Path(qroot, s"data/round=$r/pages.schema.json"))
+        .find(fs.exists)
+      val reader = sp match {
+        case Some(p) => spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(new String(readBytes(p), StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        case None => spark.read
+      }
+      Some(reader.parquet(dirs: _*))
+    }
   }
 
   def loadLatest(): Option[Snapshot] = {
@@ -171,8 +237,12 @@ final class FrontierStore(val dir: String, val compactEvery: Int = 64)(
             deltaDirs = Some(dirs)
             schemaReader("seen").parquet(dirs: _*)
           case None =>
-            // legacy (pre-delta) snapshot layout: one full seen table
-            schemaReader("seen").parquet(new Path(qroot, s"data/round=$r/seen").toString)
+            // legacy (pre-delta) snapshot layout: one full seen table. It
+            // also SEEDS the delta chain, so post-upgrade commits carry
+            // the pre-upgrade seen set forward (first link of the chain).
+            val legacy = new Path(qroot, s"data/round=$r/seen").toString
+            deltaDirs = Some(Seq(legacy))
+            schemaReader("seen").parquet(legacy)
         }
         Snapshot(r, frontier, seen)
       }

@@ -123,6 +123,61 @@ class ResilienceSpec extends AnyFunSuite {
     assert(storeSeen(snap.seen) == hashed(expectedSeen),
       "compacted base must hold the identical URL-seen set")
     assert(snap.seen.count() == expectedSeen.size, "compaction must not duplicate rows")
+
+    // GC contract: every superseded chain dir (folded deltas AND prior
+    // compacted bases) is deleted after the manifest rename — without it
+    // each compaction leaks a full seen copy (~rounds/compactEvery copies
+    // at the 10^10-url design point). Only the live base survives.
+    def exists(rel: String) = new java.io.File(s"$tmp/$rel").exists()
+    for (r <- 1 to 3; kind <- Seq("seen-delta", "seen-compact")
+         if !(r == 3 && kind == "seen-compact"))
+      assert(!exists(s"data/round=$r/$kind"),
+        s"superseded data/round=$r/$kind must be GC'd after compaction")
+    assert(exists("data/round=3/seen-compact"), "the live compacted base must survive")
+  }
+
+  test("legacy v1 (full-seen) manifest: post-upgrade commits carry the legacy seen forward") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-legacy-v1").toString
+    // fabricate a pre-delta (v1) store: round-1 full seen table + a
+    // manifest with NO seen_deltas field
+    val legacySeen = Seq(("d0", 111L), ("d0", 222L)).toDF("seed_id", "url_hash")
+    val legacyFrontier = Seq(("d0", "http://x/p2.html", 2, 0))
+      .toDF("seed_id", "url", "page_no", "cursor")
+    legacyFrontier.write.parquet(s"$tmp/data/round=1/frontier")
+    legacySeen.write.parquet(s"$tmp/data/round=1/seen")
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "data/round=1/frontier.schema.json"),
+      legacyFrontier.schema.json.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "data/round=1/seen.schema.json"),
+      legacySeen.schema.json.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "latest.json"),
+      """{"format":"graft-frontier-v1","round":1,"files":[],"metrics":{}}""".getBytes("UTF-8"))
+
+    // path 1: a fresh store commits WITHOUT calling loadLatest first
+    // (currentDeltaDirs must seed the chain from the legacy table)
+    val store = new graft.engine.FrontierStore(tmp)(spark)
+    store.commit(2, legacyFrontier, Seq(("d0", 333L)).toDF("seed_id", "url_hash"), Nil)
+    val snap2 = new graft.engine.FrontierStore(tmp)(spark).loadLatest().get
+    assert(storeSeen(snap2.seen) == Set(("d0", 111L), ("d0", 222L), ("d0", 333L)),
+      "the first post-upgrade commit must list the legacy seen table in its chain")
+
+    // path 2: loadLatest-then-commit (the resume flow) keeps extending it
+    val store3 = new graft.engine.FrontierStore(tmp)(spark)
+    store3.loadLatest()
+    store3.commit(3, legacyFrontier, Seq(("d0", 444L)).toDF("seed_id", "url_hash"), Nil)
+    val snap3 = new graft.engine.FrontierStore(tmp)(spark).loadLatest().get
+    assert(storeSeen(snap3.seen) == Set(("d0", 111L), ("d0", 222L), ("d0", 333L), ("d0", 444L)))
+  }
+
+  test("persistPages: a resumed crawl replays pre-crash pages — result equals uninterrupted") {
+    val full = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pages").toString
+    val cfg = Crawler.Config(checkpointDir = Some(tmp), persistPages = true)
+    new Crawler(spark, corpus, cfg.copy(maxRounds = 1)).crawl(CrawlQueries.listJob, seeds).count()
+    val resumed = new Crawler(spark, corpus, cfg).crawl(CrawlQueries.listJob, seeds)
+    assert(itemRows(resumed) == itemRows(full),
+      "with persistPages the resumed result must include pre-crash rounds' pages")
+    assert(seenSet(resumed) == seenSet(full))
   }
 
   // ---------------------------------------------------------------- shards
@@ -159,6 +214,17 @@ class ResilienceSpec extends AnyFunSuite {
     assert(seenSet(out) == expected,
       "crawl must complete with the identical URL-seen set after shard block loss")
     assert(itemRows(out) == expectedItems)
+
+    // accumulator integrity: the failed attempt's successful tasks already
+    // applied their prefilterSkipped updates; the retry re-runs the whole
+    // plan, so without the snapshot/reset the metric double-counts. A
+    // no-failure control run with the identical config gives the truth.
+    val control = new Crawler(spark, corpus,
+      Crawler.Config(bloomThreshold = 0L, cuckooThreshold = 0L))
+    control.crawl(CrawlQueries.listJob, seeds).count()
+    assert(c.prefilterSkipped.value == control.prefilterSkipped.value,
+      s"block-loss retry must not double-count prefilterSkipped " +
+        s"(got ${c.prefilterSkipped.value}, control ${control.prefilterSkipped.value})")
   }
 
   test("shards forced to DISK_ONLY: crawl completes identically (spill-path)") {

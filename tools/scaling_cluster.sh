@@ -68,10 +68,24 @@ EOF
 # JVM; the degraded path measured 14 MB/s.
 echo "== preflight 2: fleet-sized fault storm (4x ${MEM}MB AlwaysPreTouch JVMs) =="
 STORM_T0=$(date +%s.%N)
+STORM_PIDS=()
 for i in 1 2 3 4; do
   java -Xms"${MEM}"m -Xmx"${MEM}"m -XX:+AlwaysPreTouch -XX:+UseParallelGC -version >/dev/null 2>&1 &
+  STORM_PIDS+=($!)
 done
-wait
+# a probe JVM that cannot even start (overcommit refusal, cgroup limit,
+# OOM-kill) exits in milliseconds — a bare `wait` would discard the error
+# and the tiny elapsed time would compute as a huge MB/s, false-PASSING
+# on exactly the memory-constrained box this stage exists to reject
+STORM_FAILED=0
+for pid in "${STORM_PIDS[@]}"; do
+  wait "$pid" || STORM_FAILED=1
+done
+if [ "$STORM_FAILED" -ne 0 ]; then
+  echo "   PREFLIGHT FAIL (fleet-sized): a ${MEM}MB AlwaysPreTouch probe JVM" >&2
+  echo "   exited nonzero — the box cannot back 4x full executor heaps at all." >&2
+  exit 3
+fi
 STORM_T1=$(date +%s.%N)
 python3 - "$STORM_T0" "$STORM_T1" "$MEM" <<'EOF'
 import sys
