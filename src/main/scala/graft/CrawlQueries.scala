@@ -305,19 +305,27 @@ object CrawlQueries {
     * the standard crawl expression (P4 absolutization), aggregated to
     * weighted (src_host, dst_host) edges.
     */
-  def linkGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  def linkGraph(spark: SparkSession, sfDir: String): DataFrame =
+    hostEdgesUnsorted(spark, sfDir).orderBy("src_host", "dst_host")
+
+  /** The edge list without linkGraph's query-surface ordering: pagerank's
+    * first ops (lazyCache → join/groupBy) destroy row order, so feeding
+    * it the sorted variant would pay a full range-partition sort exchange
+    * for nothing on every invocation.
+    */
+  private def hostEdgesUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/hub/index.html")
     val links = crawler(spark, sfDir).crawl(hubJob, seeds)
       .filter(col("item").isNotNull)
       .select(col("url"), col("item.out").as("out"))
-    graft.pipeline.LinkGraph.hostEdges(links).orderBy("src_host", "dst_host")
+    graft.pipeline.LinkGraph.hostEdges(links)
   }
 
   /** Deterministic integer PageRank over the extracted host graph — the
     * frontier-priority signal.
     */
   def pagerankHosts(spark: SparkSession, sfDir: String): DataFrame =
-    graft.pipeline.LinkGraph.pagerank(linkGraph(spark, sfDir))
+    graft.pipeline.LinkGraph.pagerank(hostEdgesUnsorted(spark, sfDir))
 
   /** Anchor-text aggregation per target host — the other classic link
     * signal (what the web calls a page, aggregated where a search or

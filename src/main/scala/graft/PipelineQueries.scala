@@ -138,6 +138,19 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- warc
 
+  /** ONE owner of the synthetic WARC record (url + body templates +
+    * builder): warc_read's framing fields and warc_cdx's offsets are
+    * oracle-synchronized to these exact ASCII templates, so the two
+    * queries must synthesize from the same bytes or a template tweak in
+    * one silently desynchronizes the other's hash.
+    */
+  private def warcSyntheticRecord(id: Long, text: String): (String, Array[Byte]) = {
+    val url = graft.corpus.Fixtures.base(id) + "/page.html"
+    val body = s"<html><body><p>$text</p></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    (url, graft.sources.Warc.buildResponseRecord(url, s"doc-$id", body))
+  }
+
   /** Synthesize one ISO-28500 response record per doc, parse it BACK
     * through the WARC + HTTP readers, and emit what the parsers — not a
     * formula — recovered. The DuckDB oracle reconstructs the exact record
@@ -151,10 +164,7 @@ object PipelineQueries {
     docs(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val url = graft.corpus.Fixtures.base(id) + "/page.html"
-          val body = s"<html><body><p>$text</p></body></html>"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          val rec = Warc.buildResponseRecord(url, s"doc-$id", body)
+          val (_, rec) = warcSyntheticRecord(id, text)
           val r = Warc.records(rec).next()
           val http = Warc.parseHttp(r.payload).get
           val inner = new String(http.body, java.nio.charset.StandardCharsets.US_ASCII)
@@ -170,10 +180,15 @@ object PipelineQueries {
   /** CDX-style seek index over the synthetic WARC corpus: records are
     * laid out 100 docs per file in doc_id order, and each record's
     * offset is the windowed running sum of the PARSED record lengths
-    * within its file — the (file, offset, length) triple a 100 TB
-    * .warc.gz corpus needs for splittable parallel reads (each task
-    * seeks straight to its member). Window is PARTITIONED by file, so
-    * the cumulative sum distributes; no single-partition global window.
+    * within its file. These offsets seek into the PLAIN (uncompressed
+    * concatenation) layout — the only one DuckDB can reconstruct for the
+    * oracle. For the gzipped-member layout (Common Crawl's .warc.gz,
+    * where a seek must land on a member boundary in the COMPRESSED
+    * stream) the identical windowed sum runs over `gzipMember(rec)
+    * .length` instead; WarcSpec proves that variant round-trips (offset
+    * → slice → parse) since compressed lengths aren't oracle-expressible.
+    * Window is PARTITIONED by file, so the cumulative sum distributes;
+    * no single-partition global window.
     */
   def warcCdx(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -182,10 +197,7 @@ object PipelineQueries {
     val recs = docs(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val url = graft.corpus.Fixtures.base(id) + "/page.html"
-          val body = s"<html><body><p>$text</p></body></html>"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          val rec = Warc.buildResponseRecord(url, s"doc-$id", body)
+          val (url, rec) = warcSyntheticRecord(id, text)
           val len = Warc.records(rec).next().length
           (id, f"warc-${id / 100}%05d", len, url)
         }

@@ -228,8 +228,16 @@ final class Crawler(
         frontier = chk
         frontierCount = n
     }
-    var seen: DataFrame = resumed match {
-      case Some(s) => s.seen
+    // materialize the snapshot's seen union OFF the store's parquet files
+    // (fused with the size count the resume needs anyway): the first
+    // post-resume compaction GCs the superseded delta dirs, and a lazy
+    // `seen` plan would rescan those now-deleted paths on every later
+    // anti-join / sketch backfill. One O(|seen|) job, once per resume —
+    // the same cost the old resume-time seen.count() already paid.
+    val resumedSeen: Option[(DataFrame, Long)] =
+      resumed.map(s => B.localCheckpointWithCount(s.seen))
+    var seen: DataFrame = resumedSeen match {
+      case Some((df, _)) => df
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -388,7 +396,7 @@ final class Crawler(
     // driver-side running size of the seen set — avoids a count() job per
     // round (successor batches are disjoint from seen by construction, so
     // the estimate is exact)
-    var seenEstimate = if (resumed.isDefined) seen.count() else 0L
+    var seenEstimate = resumedSeen.map(_._2).getOrElse(0L)
     var aborted = false
 
     // S6: deterministic per-url user-agent assignment from a broadcast

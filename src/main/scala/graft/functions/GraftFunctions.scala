@@ -87,10 +87,15 @@ object GraftFunctions {
     // --- pipeline sketches ---
     u.register("graft_simhash64", (text: String) =>
       nn(text)(java.lang.Long.valueOf(Dedup.simhash64Value(text))))
+    // NOT nn-wrapped: both scalars define null semantics of their own
+    // that the DataFrame twins share (null text = zero tokens → reasons
+    // bit 1 / rep counts 0). A null-propagating wrapper here would make
+    // the SQL surface return NULL where the DataFrame path returns 1/0,
+    // breaking the bit-parity contract the oracles pin.
     u.register("graft_quality_reasons", (text: String) =>
-      nn(text)(java.lang.Long.valueOf(TextStats.qualityReasonsValue(text))))
+      java.lang.Long.valueOf(TextStats.qualityReasonsValue(text)))
     u.register("graft_rep_top", (text: String, n: Int) =>
-      nn(text)(java.lang.Long.valueOf(TextStats.repTopValue(text, n))))
+      java.lang.Long.valueOf(TextStats.repTopValue(text, n)))
   }
 
   /** Native codegen expressions, registered through the FunctionRegistry

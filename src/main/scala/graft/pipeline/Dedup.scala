@@ -31,6 +31,20 @@ object Dedup {
       .select("keep_id", "n")
       .orderBy("keep_id")
 
+  /** ONE owner of the n-word-window extraction: (doc_id, pos, span, h)
+    * per window, where h = xxhash64(span). [[duplicateSpans]] and
+    * [[contamination]] both build on this — the window semantics are
+    * what the DuckDB span oracles pin, so they must not drift apart.
+    */
+  private def hashedSpans(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("words"))
+    .filter(size(col("words")) >= n)
+    .select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
+        .as(Seq("pos", "span")))
+    .withColumn("h", xxhash64(col("span")))
+
   /** Cross-document duplicate word-span detection — the exact-substring
     * dedup of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better" (arXiv:2107.06499), at fixed n-word granularity: every
@@ -45,14 +59,7 @@ object Dedup {
     * 64-bit collision cannot fabricate a duplicate.
     */
   def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    val spans = docs
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= n)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
-          .as(Seq("pos", "span")))
-    val hashed = spans.withColumn("h", xxhash64(col("span")))
+    val hashed = hashedSpans(docs, n)
     // pass 1: candidate hashes only (8-byte shuffle keys)
     val dupHashes = hashed.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
@@ -80,17 +87,9 @@ object Dedup {
     * so the corpus side never shuffles at all.
     */
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    def spansOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= n)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
-          .as(Seq("pos", "span")))
-      .withColumn("h", xxhash64(col("span")))
-    val benchSpans = spansOf(benchmark)
+    val benchSpans = hashedSpans(benchmark, n)
       .select(col("h"), col("span").as("bspan")).distinct()
-    spansOf(docs).join(benchSpans, Seq("h"))
+    hashedSpans(docs, n).join(benchSpans, Seq("h"))
       .filter(col("span") === col("bspan")) // collision guard on the text
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))

@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
 object LinkGraph {
 
   /** Aggregate extracted absolute hrefs into a weighted host-level edge
-    * list: (src_host, dst_host, n_links).
+    * list: (src_host, dst_host, n_links). Rows whose url or href has no
+    * extractable http(s) host are DROPPED — regexp_extract returns "" on
+    * no match (mailto:, protocol-relative, garbage hrefs are normal crawl
+    * output), and without the filter every such row would collapse onto a
+    * phantom "" node absorbing rank mass.
     */
   def hostEdges(links: DataFrame, urlCol: String = "url", hrefCol: String = "out"): DataFrame =
     links.select(
-        regexp_extract(col(urlCol), "http://([^/]+)/", 1).as("src_host"),
-        regexp_extract(col(hrefCol), "http://([^/]+)/", 1).as("dst_host"))
+        regexp_extract(col(urlCol), "https?://([^/]+)", 1).as("src_host"),
+        regexp_extract(col(hrefCol), "https?://([^/]+)", 1).as("dst_host"))
+      .filter(length(col("src_host")) > 0 && length(col("dst_host")) > 0)
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
 
@@ -58,6 +63,14 @@ object LinkGraph {
       e.select(col("src_host").as("host"))
         .union(e.select(col("dst_host").as("host"))).distinct())
     val h = hosts.count() // bounded: the host dimension, one scalar job
+    // empty graph (a hub extraction that matched nothing): an empty rank
+    // table with the right schema, not a divide-by-zero on scale / h
+    if (h == 0L)
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType))))
     val ew = B.lazyCache(e
       .join(e.groupBy("src_host").agg(sum("n_links").as("ow")), "src_host")
       .select(col("src_host"), col("dst_host"), col("n_links"), col("ow")))

@@ -182,6 +182,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2 == r2b)
   }
 
+  test("pagerank on an empty edge list: empty rank table, not divide-by-zero") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(String, String, Long)].toDF("src_host", "dst_host", "n_links")
+    val r = LinkGraph.pagerank(empty, iters = 3)
+    assert(r.columns.toSeq == Seq("host", "rank"))
+    assert(r.count() == 0L)
+  }
+
+  test("hostEdges drops rows without an extractable http(s) host") {
+    val s = spark
+    import s.implicits._
+    val links = Seq(
+      ("http://a.test/p.html", "http://b.test/x.html"),   // plain http edge
+      ("https://a.test/p.html", "https://c.test"),        // https + no trailing slash
+      ("http://a.test/p.html", "mailto:x@b.test"),        // no host -> dropped
+      ("http://a.test/p.html", "//b.test/rel.html"),      // protocol-relative -> dropped
+      ("garbage", "http://b.test/y.html"))                // src has no host -> dropped
+      .toDF("url", "out")
+    val edges = LinkGraph.hostEdges(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edges == Set(("a.test", "b.test", 1L), ("a.test", "c.test", 1L)),
+      s"unmatched urls must be dropped, never collapse onto a '' host: $edges")
+  }
+
   test("media headers: real PNG/JPEG/GIF/WAV bytes round-trip through the parser") {
     import graft.pipeline.MediaHeaders
     for (seed <- Seq(0L, 1L, 2L, 3L, 17L, 254L, 1023L, 99991L)) {

@@ -136,6 +136,30 @@ class ResilienceSpec extends AnyFunSuite {
     assert(exists("data/round=3/seen-compact"), "the live compacted base must survive")
   }
 
+  test("resumed seen survives compaction GC (materialized off the store's parquet)") {
+    // regression: the resumed crawl's `seen` used to stay a LAZY parquet
+    // union over the manifest's delta dirs; the first post-resume
+    // compaction GC'd those dirs and any later-round use of `seen`
+    // (anti-join, sketch backfill) rescanned deleted paths ->
+    // FileNotFoundException. The fix localCheckpoints the union at resume
+    // (fused with the size count resume already needed), so this
+    // crash-at-1 / compact-on-2 / use-seen-on-3 sequence must complete.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-resume-gc").toString
+    val full = new Crawler(spark, corpus).crawl(CrawlQueries.listJob, seeds)
+    val cfg = Crawler.Config(checkpointDir = Some(tmp), seenCompactEvery = 1)
+    new Crawler(spark, corpus, cfg.copy(maxRounds = 1)).crawl(CrawlQueries.listJob, seeds).count()
+    // the resumed crawl COMPLETING is the regression (no FileNotFound on
+    // the GC'd delta dirs); its output holds only post-resume rounds, so
+    // the full-set check reads the store's final snapshot
+    new Crawler(spark, corpus, cfg).crawl(CrawlQueries.listJob, seeds).count()
+    val snap = new graft.engine.FrontierStore(tmp)(spark).loadLatest().get
+    assert(storeSeen(snap.seen) == hashed(seenSet(full)),
+      "resume -> compaction -> later rounds must complete with the full seen set")
+    // and the pre-resume delta dir really was GC'd (the hazard existed)
+    assert(!new java.io.File(s"$tmp/data/round=1/seen-delta").exists(),
+      "compaction must have deleted the superseded pre-resume delta")
+  }
+
   test("legacy v1 (full-seen) manifest: post-upgrade commits carry the legacy seen forward") {
     val s = spark; import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-legacy-v1").toString

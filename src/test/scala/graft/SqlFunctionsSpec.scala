@@ -62,6 +62,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     calls.foreach { c =>
       assert(one(s"SELECT $c") == null, s"$c must be null on null input")
     }
+    // EXCEPTIONS: the quality scalars define their own null semantics
+    // (null text = zero tokens), shared with the DataFrame twins — a
+    // null-propagating wrapper would break the bit-parity contract
+    assert(one("SELECT graft_quality_reasons(cast(NULL as string))") ===
+      graft.pipeline.TextStats.qualityReasonsValue(null),
+      "graft_quality_reasons(NULL) must equal the DataFrame twin (reasons bit 1), not NULL")
+    assert(one("SELECT graft_rep_top(cast(NULL as string), 3)") ===
+      graft.pipeline.TextStats.repTopValue(null, 3),
+      "graft_rep_top(NULL) must equal the DataFrame twin (0), not NULL")
   }
 
   test("url + robots helpers from SQL") {

@@ -60,6 +60,25 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(Warc.parseHttp(parsed(1).payload).get.body, US_ASCII) == "two two")
   }
 
+  test("gzipped-member CDX: offsets summed over COMPRESSED member lengths seek correctly") {
+    // the .warc.gz variant of the warc_cdx windowed sum (warcCdx's plain
+    // offsets are oracle-pinned; this is the compressed-layout contract
+    // its scaladoc defers here): offset_i = sum of gzipMember lengths
+    // before i, and a byte-slice seek at that offset parses record i
+    val members = Seq(
+      Warc.gzipMember(rec("http://z.test/1", "z1", "alpha")),
+      Warc.gzipMember(rec("http://z.test/2", "z2", "beta beta")),
+      Warc.gzipMember(rec("http://z.test/3", "z3", "gamma gamma gamma")))
+    val blob = members.reduce(_ ++ _)
+    val offsets = members.map(_.length.toLong).scanLeft(0L)(_ + _).init
+    for ((off, i) <- offsets.zipWithIndex) {
+      val seeked = Warc.records(
+        java.util.Arrays.copyOfRange(blob, off.toInt, blob.length)).next()
+      assert(seeked.targetUri == s"http://z.test/${i + 1}",
+        s"seek at compressed offset $off must land on member ${i + 1}")
+    }
+  }
+
   test("truncated stream yields its complete prefix records, no throw") {
     val blob = rec("http://t.test/1", "t1", "whole") ++ rec("http://t.test/2", "t2", "cut")
     val truncated = java.util.Arrays.copyOfRange(blob, 0, blob.length - 20)
