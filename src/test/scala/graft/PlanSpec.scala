@@ -72,6 +72,21 @@ class PlanSpec extends AnyFunSuite {
       s"at most the final rangepartitioning exchange expected:\n${plan.take(1500)}")
   }
 
+  test("pagerank_hosts: exactly ONE sort (its own output order), no inherited edge sort") {
+    // regression: pagerank_hosts used to build on link_graph's SORTED
+    // query surface, paying a full range-partition sort exchange over the
+    // edge list whose order its first join/groupBy immediately destroyed.
+    // The edge list now reaches pagerank unsorted; the only Sort left is
+    // pagerank's own final orderBy("host").
+    // count GLOBAL sorts only (`Sort [...], true, ...`): a sort-merge
+    // join's per-partition Sorts (`..., false, ...`) are join machinery,
+    // not the wasted range exchange this pins
+    val plan = planOf(CrawlQueries.pagerankHosts(spark, sf))
+    val sorts = """Sort \[[^\]]*\], true""".r.findAllIn(plan).size
+    assert(sorts == 1, s"expected exactly the final orderBy(host) global Sort, found $sorts:\n" +
+      plan.linesIterator.filter(_.contains("Sort ")).mkString("\n"))
+  }
+
   test("ann_topk: query-side filter pushed to parquet scan") {
     val plan = planOf(PipelineQueries.annTopK(spark, sf))
     assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,20)"),
