@@ -327,6 +327,58 @@ object CrawlQueries {
   def pagerankHosts(spark: SparkSession, sfDir: String): DataFrame =
     graft.pipeline.LinkGraph.pagerank(hostEdgesUnsorted(spark, sfDir))
 
+  /** Rank-guided crawl: the two-phase loop a production crawler runs at
+    * budget — phase 1 crawls the hub family and computes host PageRank;
+    * phase 2 spends a bounded fetch budget (batchLimit) on the seeds of
+    * the highest-ranked hosts first, through the same priority frontier
+    * as [[crawlPrioritized]]. Composes the round's pieces end-to-end:
+    * extraction → link graph → integer PageRank → priority column →
+    * frontier slice, with the DuckDB oracle reconstructing the ENTIRE
+    * chain (unrolled rank iterations, the dense_rank priority mapping,
+    * and the budget cut) so any drift anywhere in it breaks the hash.
+    *
+    * Priority = position in the top-`budgetHosts` by (rank DESC, host) —
+    * host breaks rank ties, so the mapping is total-ordered and
+    * recompute-stable (the same determinism contract as the frontier
+    * slice itself). Computed as a distributed TakeOrdered top-K (never a
+    * global window: at 10^10 urls the host dimension is millions of rows,
+    * and a partition-less window would drag them all onto one task); the
+    * K winners — a bounded head, same discipline as the politeness LPT —
+    * come to the driver only to be numbered, and every below-budget host
+    * shares the floor level K so the batch cut falls on a level boundary.
+    */
+  def crawlRankPrioritized(spark: SparkSession, sfDir: String): DataFrame = {
+    val budgetHosts = 10
+    val top = pagerankHosts(spark, sfDir)
+      .orderBy(col("rank").desc, col("host")).limit(budgetHosts) // TakeOrdered, distributed
+      .collect().map(_.getString(0)) // bounded: K host names
+    import spark.implicits._
+    val prio = broadcast(
+      top.zipWithIndex.toSeq.toDF("host", "priority"))
+    // seeds left-join their host's priority; sub-budget hosts take the
+    // floor level so they stay IN the frontier, just below the cut
+    val seeds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("h"), col("doc_id") % 50, lit(".test")).as("host"))
+      .join(prio, Seq("host"), "left")
+      .withColumn("priority", coalesce(col("priority"), lit(budgetHosts)))
+      .select(concat(lit("d"), col("doc_id")).as("seed_id"),
+        concat(lit("http://"), col("host"), lit("/d"), col("doc_id"),
+          lit("/list/p1.html")).as("url"),
+        col("priority"))
+    // budget = every seed of the top-K hosts: the cut falls on a
+    // priority boundary, so the oracle never depends on the intra-level
+    // (host_bucket) tiebreak
+    val cut = seeds.filter(col("priority") < budgetHosts).count()
+    new Crawler(spark, Fixtures.corpus(spark, sfDir),
+      Crawler.Config(batchLimit = Some(cut), maxRounds = 1))
+      .crawlPrioritized(listJob, seeds)
+      .filter(col("item").isNotNull)
+      .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),
+        col("pos").cast("long").as("pos"), col("item.title").as("title"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Anchor-text aggregation per target host — the other classic link
     * signal (what the web calls a page, aggregated where a search or
     * quality pipeline wants it: on the TARGET). Both the href and its

@@ -39,6 +39,7 @@ object SparkEntry {
     "sitemap_discover" -> (CrawlQueries.sitemapDiscover(_, _)),
     "sitemap_index" -> (CrawlQueries.sitemapIndex(_, _)),
     "crawl_prioritized" -> (CrawlQueries.crawlPrioritized(_, _)),
+    "crawl_rank_prioritized" -> (CrawlQueries.crawlRankPrioritized(_, _)),
     "link_graph" -> (CrawlQueries.linkGraph(_, _)),
     "pagerank_hosts" -> (CrawlQueries.pagerankHosts(_, _)),
     "anchor_text" -> (CrawlQueries.anchorText(_, _)),
@@ -189,6 +190,7 @@ object SparkEntry {
         |FROM documents, generate_series(1,4) s(i)
         |WHERE doc_id % 10 <= 1
         |ORDER BY 1,2""".stripMargin,
+    "crawl_rank_prioritized" -> crawlRankPrioritizedOracle(5),
     "sitemap_index" ->
       """SELECT 'http://h'||(doc_id%50)||'.test/sitemap_index.xml' AS index_url,
         |  CAST(doc_id//50 AS BIGINT) AS sitemap_pos,
@@ -643,7 +645,7 @@ object SparkEntry {
     * exact `(85 * r * w) // (100 * outw)` arithmetic the Spark operator
     * uses — any truncation or join discrepancy breaks the hash.
     */
-  private def pagerankOracle(iters: Int): String = {
+  private def pagerankCtes(iters: Int): String = {
     val head = new StringBuilder("WITH " + linkGraphEdgesCte + ",\n" +
       """ew AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1,2),
         |ow AS (SELECT src_host, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
@@ -658,9 +660,24 @@ object SparkEntry {
         |r$k AS (SELECT hosts.host, CAST((15 * (1000000000000 // hc.h)) // 100 + coalesce(c$k.inmass, 0) AS BIGINT) AS rank
         |        FROM hosts CROSS JOIN hc LEFT JOIN c$k ON c$k.host = hosts.host)""".stripMargin)
     }
-    head.append(s"\nSELECT host, rank FROM r$iters ORDER BY host")
     head.toString
   }
+
+  private def pagerankOracle(iters: Int): String =
+    pagerankCtes(iters) + s"\nSELECT host, rank FROM r$iters ORDER BY host"
+
+  /** The full rank-guided-crawl chain: unrolled pagerank iterations →
+    * dense_rank priority per host → top-10-host budget cut → the list
+    * fixture's page-1 rows for exactly the surviving docs.
+    */
+  private def crawlRankPrioritizedOracle(iters: Int): String =
+    pagerankCtes(iters) + s""",
+      |prio AS (SELECT host, dense_rank() OVER (ORDER BY rank DESC, host) - 1 AS priority FROM r$iters),
+      |due AS (SELECT d.doc_id FROM documents d
+      |        JOIN prio p ON p.host = 'h'||(d.doc_id%50)||'.test'
+      |        WHERE p.priority < 10)
+      |SELECT d.doc_id, i-1 AS pos, 'Doc '||d.doc_id||' item 1-'||i AS title
+      |FROM due d, generate_series(1,4) s(i) ORDER BY 1,2""".stripMargin
 
   private val crawlMetricsOracle: String =
     """SELECT 'h'||(doc_id%50)||'.test' AS host, count(*)*3 AS pages
