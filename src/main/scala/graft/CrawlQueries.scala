@@ -292,14 +292,24 @@ object CrawlQueries {
     // evenly by 10) so the batch boundary always falls between levels and
     // the oracle never depends on the intra-level host_bucket tiebreak
     val cut = seedDf.filter(col("priority") <= 1).count()
+    prioritySliceRows(spark, sfDir, seedDf, cut)
+  }
+
+  /** Shared tail of the priority-crawl queries: fetch the frontier slice
+    * of `seeds` under a `budget`-url batch limit (one round) and project
+    * the oracle columns. ONE owner, so [[crawlPrioritized]] and
+    * [[crawlRankPrioritized]] cannot drift apart in crawler config or
+    * projection.
+    */
+  private def prioritySliceRows(spark: SparkSession, sfDir: String,
+      seeds: DataFrame, budget: Long): DataFrame =
     new Crawler(spark, Fixtures.corpus(spark, sfDir),
-      Crawler.Config(batchLimit = Some(cut), maxRounds = 1))
-      .crawlPrioritized(listJob, seedDf)
+      Crawler.Config(batchLimit = Some(budget), maxRounds = 1))
+      .crawlPrioritized(listJob, seeds)
       .filter(col("item").isNotNull)
       .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),
         col("pos").cast("long").as("pos"), col("item.title").as("title"))
       .orderBy("doc_id", "pos")
-  }
 
   /** Host-level link graph from the hub family: hrefs extracted through
     * the standard crawl expression (P4 absolutization), aggregated to
@@ -358,25 +368,17 @@ object CrawlQueries {
     // seeds left-join their host's priority; sub-budget hosts take the
     // floor level so they stay IN the frontier, just below the cut
     val seeds = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"),
-        concat(lit("h"), col("doc_id") % 50, lit(".test")).as("host"))
+      .select(col("doc_id"), Fixtures.hostCol(col("doc_id")).as("host"))
       .join(prio, Seq("host"), "left")
       .withColumn("priority", coalesce(col("priority"), lit(budgetHosts)))
       .select(concat(lit("d"), col("doc_id")).as("seed_id"),
-        concat(lit("http://"), col("host"), lit("/d"), col("doc_id"),
-          lit("/list/p1.html")).as("url"),
+        concat(Fixtures.baseCol(col("doc_id")), lit("/list/p1.html")).as("url"),
         col("priority"))
     // budget = every seed of the top-K hosts: the cut falls on a
     // priority boundary, so the oracle never depends on the intra-level
     // (host_bucket) tiebreak
     val cut = seeds.filter(col("priority") < budgetHosts).count()
-    new Crawler(spark, Fixtures.corpus(spark, sfDir),
-      Crawler.Config(batchLimit = Some(cut), maxRounds = 1))
-      .crawlPrioritized(listJob, seeds)
-      .filter(col("item").isNotNull)
-      .select(expr("cast(substring(seed_id, 2) as long)").as("doc_id"),
-        col("pos").cast("long").as("pos"), col("item.title").as("title"))
-      .orderBy("doc_id", "pos")
+    prioritySliceRows(spark, sfDir, seeds, cut)
   }
 
   /** Anchor-text aggregation per target host — the other classic link
@@ -391,9 +393,13 @@ object CrawlQueries {
     val seeds = Fixtures.seeds(spark, sfDir, d => s"${Fixtures.base(d)}/hub/index.html")
     crawler(spark, sfDir).crawl(hubJob, seeds)
       .filter(col("item").isNotNull)
+      // the SAME host extraction as the link graph (LinkGraph.hostOf),
+      // with the same no-host drop — the two link-signal queries must
+      // never disagree on which host an href belongs to
       .select(
-        regexp_extract(col("item.out"), "http://([^/]+)/", 1).as("dst_host"),
+        graft.pipeline.LinkGraph.hostOf(col("item.out")).as("dst_host"),
         col("item.anchor").as("anchor"))
+      .filter(length(col("dst_host")) > 0)
       .groupBy("dst_host")
       .agg(count(lit(1)).as("n_anchors"),
         concat_ws("|", sort_array(collect_list(col("anchor")))).as("anchors_sorted"))

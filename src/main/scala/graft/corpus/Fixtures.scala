@@ -43,6 +43,20 @@ object Fixtures {
   def base(d: Long): String = s"http://${host(d)}/d$d"
   def snip(text: String): String = text.substring(0, math.min(40, text.length))
 
+  /** Column twins of [[host]]/[[base]] for DataFrame-native seed builders
+    * (no per-row Scala call, no collect): ONE owner of the url layout, so
+    * a change to it cannot silently diverge between the Scala-side seed
+    * lists and the column-expression ones.
+    */
+  def hostCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    concat(lit("h"), docId % 50, lit(".test"))
+  }
+  def baseCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    concat(lit("http://"), hostCol(docId), lit("/d"), docId)
+  }
+
   private val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z")
 
   private def ts(d: Long, idx: Int): java.sql.Timestamp =

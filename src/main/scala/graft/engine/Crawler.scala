@@ -233,7 +233,15 @@ final class Crawler(
     // post-resume compaction GCs the superseded delta dirs, and a lazy
     // `seen` plan would rescan those now-deleted paths on every later
     // anti-join / sketch backfill. One O(|seen|) job, once per resume —
-    // the same cost the old resume-time seen.count() already paid.
+    // the same cost the old resume-time seen.count() already paid, and it
+    // also stops every later round re-reading the whole delta chain.
+    // Durability model: the checkpointed blocks are executor-resident, so
+    // an executor death that takes them mid-crawl fail-stops through the
+    // BlockLossUnrecoverable path below with a resume pointer — and
+    // re-resume is always sound, because the store's manifest at that
+    // moment lists only live dirs (compaction GC'd dirs are never in the
+    // current manifest). Fail-stop + durable re-resume replaces the old
+    // lazy plan's silent FileNotFound crash after compaction.
     val resumedSeen: Option[(DataFrame, Long)] =
       resumed.map(s => B.localCheckpointWithCount(s.seen))
     var seen: DataFrame = resumedSeen match {

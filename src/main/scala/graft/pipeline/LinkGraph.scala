@@ -23,10 +23,20 @@ object LinkGraph {
     * output), and without the filter every such row would collapse onto a
     * phantom "" node absorbing rank mass.
     */
+  /** The authority (host) of an http(s) url, or "" when there is none.
+    * `?#` terminate the authority alongside `/` — `http://b.test?page=2`
+    * is host `b.test`, not a distinct `b.test?page=2` node. ONE owner for
+    * every link-signal query (edges here, anchor text in CrawlQueries)
+    * so the graph and the anchor aggregation can never disagree on which
+    * host a row belongs to.
+    */
+  def hostOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(c, "https?://([^/?#]+)", 1)
+
   def hostEdges(links: DataFrame, urlCol: String = "url", hrefCol: String = "out"): DataFrame =
     links.select(
-        regexp_extract(col(urlCol), "https?://([^/]+)", 1).as("src_host"),
-        regexp_extract(col(hrefCol), "https?://([^/]+)", 1).as("dst_host"))
+        hostOf(col(urlCol)).as("src_host"),
+        hostOf(col(hrefCol)).as("dst_host"))
       .filter(length(col("src_host")) > 0 && length(col("dst_host")) > 0)
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))

@@ -197,14 +197,17 @@ class PipelineSpec extends AnyFunSuite {
     val links = Seq(
       ("http://a.test/p.html", "http://b.test/x.html"),   // plain http edge
       ("https://a.test/p.html", "https://c.test"),        // https + no trailing slash
+      ("http://a.test/p.html", "http://b.test?page=2"),   // query right after authority
+      ("http://a.test/p.html", "http://b.test#frag"),     // fragment right after authority
       ("http://a.test/p.html", "mailto:x@b.test"),        // no host -> dropped
       ("http://a.test/p.html", "//b.test/rel.html"),      // protocol-relative -> dropped
       ("garbage", "http://b.test/y.html"))                // src has no host -> dropped
       .toDF("url", "out")
     val edges = LinkGraph.hostEdges(links).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    assert(edges == Set(("a.test", "b.test", 1L), ("a.test", "c.test", 1L)),
-      s"unmatched urls must be dropped, never collapse onto a '' host: $edges")
+    assert(edges == Set(("a.test", "b.test", 3L), ("a.test", "c.test", 1L)),
+      s"?# must terminate the authority (no phantom 'b.test?page=2' nodes) and " +
+        s"unmatched urls must be dropped, never collapse onto a '' host: $edges")
   }
 
   test("media headers: real PNG/JPEG/GIF/WAV bytes round-trip through the parser") {
