@@ -381,6 +381,27 @@ object CrawlQueries {
     prioritySliceRows(spark, sfDir, seeds, cut)
   }
 
+  /** Re-crawl due-set over the corpus's own list pages: each page's
+    * warc_ts is its last-crawl time, the change period is estimated per
+    * host, and `now` is a fixed instant ~27.8 h past the fixture epoch —
+    * chosen so the due/not-due split is non-trivial across BOTH hosts
+    * (periods 1–96 h straddle the age range) and docs within a host
+    * (ages 13.9–27.8 h straddle the mid periods). The oracle recomputes
+    * warc_ts from the fixture's epoch + (doc_id*100 + idx) seconds rule
+    * and mirrors the integer staleness arithmetic exactly.
+    */
+  def recrawlDue(spark: SparkSession, sfDir: String): DataFrame = {
+    val epochMs = 1704067200000L // 2024-01-01T00:00:00Z, the fixture epoch
+    val history = Fixtures.corpus(spark, sfDir)
+      .filter(col("url").contains("/list/"))
+      .select(col("url"),
+        (col("warc_ts").cast("long") * 1000).as("last_crawl_ms"),
+        ((regexp_extract(col("url"), "http://h(\\d+)\\.test/", 1).cast("long") * 7 % 96 + 1)
+          * 3600000L).as("change_period_ms"))
+    graft.engine.Recrawl.due(history, nowMs = epochMs + 100000000L)
+      .orderBy("url")
+  }
+
   /** Anchor-text aggregation per target host — the other classic link
     * signal (what the web calls a page, aggregated where a search or
     * quality pipeline wants it: on the TARGET). Both the href and its

@@ -40,6 +40,7 @@ object SparkEntry {
     "sitemap_index" -> (CrawlQueries.sitemapIndex(_, _)),
     "crawl_prioritized" -> (CrawlQueries.crawlPrioritized(_, _)),
     "crawl_rank_prioritized" -> (CrawlQueries.crawlRankPrioritized(_, _)),
+    "recrawl_due" -> (CrawlQueries.recrawlDue(_, _)),
     "link_graph" -> (CrawlQueries.linkGraph(_, _)),
     "pagerank_hosts" -> (CrawlQueries.pagerankHosts(_, _)),
     "anchor_text" -> (CrawlQueries.anchorText(_, _)),
@@ -191,6 +192,16 @@ object SparkEntry {
         |WHERE doc_id % 10 <= 1
         |ORDER BY 1,2""".stripMargin,
     "crawl_rank_prioritized" -> crawlRankPrioritizedOracle(5),
+    "recrawl_due" ->
+      """WITH pages AS (
+        |  SELECT 'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
+        |    (doc_id*100 + k - 1)*1000 AS rel_last_ms,
+        |    CAST(((doc_id%50)*7 % 96 + 1) * 3600000 AS BIGINT) AS change_period_ms
+        |  FROM documents, generate_series(1,3) s(k))
+        |SELECT url, CAST(100000000 - rel_last_ms AS BIGINT) AS age_ms, change_period_ms,
+        |  CAST(((100000000 - rel_last_ms) * 1000) // change_period_ms AS BIGINT) AS staleness_ppt
+        |FROM pages WHERE 100000000 - rel_last_ms >= change_period_ms
+        |ORDER BY url""".stripMargin,
     "sitemap_index" ->
       """SELECT 'http://h'||(doc_id%50)||'.test/sitemap_index.xml' AS index_url,
         |  CAST(doc_id//50 AS BIGINT) AS sitemap_pos,
