@@ -101,6 +101,31 @@ class EngineSurfaceSpec extends AnyFunSuite {
       s"round one must fetch exactly the top-priority slice: got $crawled want $top3")
   }
 
+  test("recrawl due-set feeds the priority frontier: stalest urls fetched first") {
+    val s = spark
+    import s.implicits._
+    val many = (0L until 6L).map(d => Fixtures.Doc(d, "alpha beta gamma delta epsilon", "en"))
+    val corpus6 = many.flatMap(Fixtures.pagesForDoc).toDF()
+    // history: doc d's list p1 last crawled d hours ago, all with a 1 h
+    // change period -> all due, staleness strictly increases with d
+    val nowMs = 1704067200000L + 720L * 3600000L
+    val history = many.map { doc =>
+      (s"${Fixtures.base(doc.doc_id)}/list/p1.html",
+        nowMs - (doc.doc_id + 1) * 3600000L, 3600000L)
+    }.toDF("url", "last_crawl_ms", "change_period_ms")
+    val due = graft.engine.Recrawl.due(history, nowMs)
+    // the scaladoc's contract: negated staleness IS the frontier priority
+    val seedDf = due.select(
+      regexp_extract(col("url"), "/d(\\d+)/", 1).as("seed_id"),
+      col("url"), (-col("staleness_ppt")).cast("int").as("priority"))
+    val out = new Crawler(spark, corpus6,
+      Crawler.Config(batchLimit = Some(2), maxRounds = 1))
+      .crawlPrioritized(CrawlQueries.listJob, seedDf)
+    val crawled = out.select("seed_id").distinct().collect().map(_.getString(0)).toSet
+    assert(crawled == Set("4", "5"),
+      s"round one must fetch the two STALEST urls (docs 4,5): got $crawled")
+  }
+
   test("crawlPrioritized composes with StartPageBtn (priority survives the L7 rewrite)") {
     val s = spark
     import s.implicits._
