@@ -123,7 +123,11 @@ object Bench {
       // round 5: Gopher repetition pass (map-only UDF) and the host-graph
       // PageRank (5 iterations of shuffle-by-dst over extracted edges)
       one("repetition_stats", PipelineQueries.repetitionStats(spark, sfDir)),
-      one("pagerank_hosts", CrawlQueries.pagerankHosts(spark, sfDir))
+      one("pagerank_hosts", CrawlQueries.pagerankHosts(spark, sfDir)),
+      // round-5 close: the composed rank-guided crawl (hub crawl + rank +
+      // top-K budget + frontier slice) and the map-only recrawl due-set
+      one("crawl_rank_prioritized", CrawlQueries.crawlRankPrioritized(spark, sfDir)),
+      one("recrawl_due", CrawlQueries.recrawlDue(spark, sfDir))
     )
   }
 
