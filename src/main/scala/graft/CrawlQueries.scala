@@ -448,6 +448,18 @@ object CrawlQueries {
         col("pos").cast("long").as("pos"), col("url"), col("lastmod"))
       .orderBy("index_url", "sitemap_pos", "pos")
 
+  /** Robots-declared sitemap discovery: each host's robots.txt `Sitemap:`
+    * directive names the host's sitemap index, and the declared documents
+    * resolve through the same two-level index+urlset extraction — the
+    * cross-convention discovery channel of the sitemaps.org protocol.
+    */
+  def robotsSitemaps(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Sitemaps.discoverFromRobots(Fixtures.corpus(spark, sfDir))
+      .select(col("robots_url"), col("index_url"),
+        col("sitemap_pos").cast("long").as("sitemap_pos"),
+        col("pos").cast("long").as("pos"), col("url"), col("lastmod"))
+      .orderBy("robots_url", "sitemap_pos", "pos")
+
   /** Structured Streaming twin of the list extraction: the fixture corpus
     * staged as a parquet directory is consumed as a file-source stream
     * (micro-batches of 4 files — the continuous-ingest shape, each batch a

@@ -41,6 +41,7 @@ object SparkEntry {
     "crawl_prioritized" -> (CrawlQueries.crawlPrioritized(_, _)),
     "crawl_rank_prioritized" -> (CrawlQueries.crawlRankPrioritized(_, _)),
     "recrawl_due" -> (CrawlQueries.recrawlDue(_, _)),
+    "robots_sitemaps" -> (CrawlQueries.robotsSitemaps(_, _)),
     "link_graph" -> (CrawlQueries.linkGraph(_, _)),
     "pagerank_hosts" -> (CrawlQueries.pagerankHosts(_, _)),
     "anchor_text" -> (CrawlQueries.anchorText(_, _)),
@@ -192,6 +193,14 @@ object SparkEntry {
         |WHERE doc_id % 10 <= 1
         |ORDER BY 1,2""".stripMargin,
     "crawl_rank_prioritized" -> crawlRankPrioritizedOracle(5),
+    "robots_sitemaps" ->
+      """SELECT 'http://h'||(doc_id%50)||'.test/robots.txt' AS robots_url,
+        |  'http://h'||(doc_id%50)||'.test/sitemap_index.xml' AS index_url,
+        |  CAST(doc_id//50 AS BIGINT) AS sitemap_pos,
+        |  k-1 AS pos,
+        |  'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,
+        |  '2024-0'||k||'-01' AS lastmod
+        |FROM documents, generate_series(1,3) s(k) ORDER BY 1,3,4""".stripMargin,
     "recrawl_due" ->
       """WITH pages AS (
         |  SELECT 'http://h'||(doc_id%50)||'.test/d'||doc_id||'/list/p'||k||'.html' AS url,

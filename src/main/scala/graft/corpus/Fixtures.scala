@@ -189,7 +189,7 @@ object Fixtures {
     // ---- robots.txt, one per host (docs 0..49 own hosts h0..h49)
     if (d < 50) {
       add(s"http://${host(d)}/robots.txt",
-        "User-agent: *\nDisallow: /blocked/\n", "")
+        s"User-agent: *\nDisallow: /blocked/\nSitemap: http://${host(d)}/sitemap_index.xml\n", "")
     }
 
     pages.result()

@@ -176,6 +176,25 @@ object Robots {
     out.result()
   }
 
+  /** `Sitemap:` directives (the sitemaps.org cross-convention discovery
+    * channel; RFC 9309 treats it as an "other record" outside groups, so
+    * it neither opens nor closes a group). Values are absolute urls per
+    * the protocol; comments strip like any other line. Order preserved —
+    * publishers list their preferred sitemap first.
+    */
+  def sitemaps(body: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    body.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val idx = line.indexOf(':')
+      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(idx + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
   def pathOf(url: String): String =
     try {
       val p = new java.net.URI(url).getPath

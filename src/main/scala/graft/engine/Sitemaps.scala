@@ -83,4 +83,29 @@ object Sitemaps {
     refs.join(discover(corpus), Seq("sitemap_url"))
       .select(col("index_url"), col("sitemap_pos"), col("pos"), col("url"), col("lastmod"))
   }
+
+  /** Robots-declared discovery — the sitemaps.org `Sitemap:` directive,
+    * the cross-convention channel real crawlers use when a site's sitemap
+    * does NOT live at the /sitemap.xml convention: each host's robots.txt
+    * names its sitemap documents, and the declared urls resolve through
+    * the same index + urlset extraction as [[discoverIndexed]].
+    *
+    * The robots family is a per-host dimension (tiny next to the page
+    * corpus), so the directive extraction is one pass over it and the
+    * declared-url side broadcasts into the entry join. Cross-host
+    * declarations are legal per the protocol but dropped here — the
+    * same same-host trust discipline the rest of the engine applies.
+    * Output: (robots_url, index_url, sitemap_pos, pos, url, lastmod).
+    */
+  def discoverFromRobots(corpus: DataFrame): DataFrame = {
+    val declaredOf = udf((html: Array[Byte]) =>
+      if (html == null) Seq.empty[String]
+      else Robots.sitemaps(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+    val declared = corpus.filter(col("url").endsWith("/robots.txt"))
+      .select(col("url").as("robots_url"), explode(declaredOf(col("html"))).as("index_url"))
+      .filter(expr("parse_url(robots_url, 'HOST') = parse_url(index_url, 'HOST')"))
+    broadcast(declared).join(discoverIndexed(corpus), Seq("index_url"))
+      .select(col("robots_url"), col("index_url"), col("sitemap_pos"),
+        col("pos"), col("url"), col("lastmod"))
+  }
 }

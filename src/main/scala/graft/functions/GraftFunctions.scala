@@ -83,6 +83,8 @@ object GraftFunctions {
     u.register("graft_robots_crawl_delay_ms", (robotsTxt: String, productToken: String) =>
       nn(robotsTxt, productToken)(java.lang.Long.valueOf(
         Robots.parseFor(robotsTxt, productToken).crawlDelayMs.getOrElse(-1L))))
+    u.register("graft_robots_sitemaps", (robotsTxt: String) =>
+      nn(robotsTxt)(Robots.sitemaps(robotsTxt)))
 
     // --- pipeline sketches ---
     u.register("graft_simhash64", (text: String) =>

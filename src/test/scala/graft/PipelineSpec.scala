@@ -379,6 +379,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.isAllowed("/g/only-for-googlebot"))
   }
 
+  test("robots Sitemap: directives parse outside groups, order-preserving, gating unchanged") {
+    import graft.engine.Robots
+    val body =
+      """Sitemap: http://a.test/first.xml
+        |User-agent: *
+        |Disallow: /private/
+        |sitemap: http://a.test/second.xml  # case-insensitive key, comment stripped
+        |User-agent: bot
+        |Allow: /
+        |SITEMAP: http://a.test/third.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemaps(body) == Vector(
+      "http://a.test/first.xml", "http://a.test/second.xml", "http://a.test/third.xml"))
+    // a Sitemap line mid-group must not open/close groups or alter gating
+    assert(!Robots.parse(body).isAllowed("/private/x"))
+    assert(Robots.parse(body).isAllowed("/public/x"))
+    assert(Robots.sitemaps("User-agent: *\nDisallow: /x/\n") == Vector.empty)
+  }
+
   test("robots REP patterns: * wildcard and $ anchor, longest-match wins") {
     import graft.engine.Robots
     val r = Robots.parse(

@@ -58,6 +58,7 @@ class SqlFunctionsSpec extends AnyFunSuite {
       "graft_url_resolve('http://h0.test/', cast(NULL as string))",
       "graft_robots_allowed(cast(NULL as string), '*', '/a')",
       "graft_robots_crawl_delay_ms(cast(NULL as string), '*')",
+      "graft_robots_sitemaps(cast(NULL as string))",
       "graft_simhash64(cast(NULL as string))")
     calls.foreach { c =>
       assert(one(s"SELECT $c") == null, s"$c must be null on null input")
@@ -81,6 +82,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(one(s"SELECT graft_robots_allowed('$robots', '*', '/public/a')") === true)
     assert(one(s"SELECT graft_robots_allowed('$robots', '*', '/private/a')") === false)
     assert(one(s"SELECT graft_robots_crawl_delay_ms('$robots', '*')") === 2000L)
+    assert(one("SELECT graft_robots_sitemaps('Sitemap: http://h0.test/s.xml\\nUser-agent: *')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("http://h0.test/s.xml"))
   }
 
   test("graft_simhash64 agrees with the dedup sketch") {
