@@ -283,11 +283,13 @@ object CrawlQueries {
     * needs no knowledge of the intra-level (host_bucket) tiebreak.
     */
   def crawlPrioritized(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    // DataFrame-native seed build (no driver collect — the column twins in
+    // Fixtures own the url layout); the crawler re-orders the frontier by
+    // (priority, host_bucket, seed_id, url) itself, so no sort here either
     val seedDf = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id")).as[Long].collect().sorted.toSeq
-      .map(d => (s"d$d", s"${Fixtures.base(d)}/list/p1.html", (d % 10).toInt))
-      .toDF("seed_id", "url", "priority")
+      .select(concat(lit("d"), col("doc_id")).as("seed_id"),
+        concat(Fixtures.baseCol(col("doc_id")), lit("/list/p1.html")).as("url"),
+        (col("doc_id") % 10).cast("int").as("priority"))
     // cut from the ACTUAL level populations (doc counts need not divide
     // evenly by 10) so the batch boundary always falls between levels and
     // the oracle never depends on the intra-level host_bucket tiebreak

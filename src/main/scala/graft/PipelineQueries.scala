@@ -146,8 +146,14 @@ object PipelineQueries {
     */
   private def warcSyntheticRecord(id: Long, text: String): (String, Array[Byte]) = {
     val url = graft.corpus.Fixtures.base(id) + "/page.html"
-    val body = s"<html><body><p>$text</p></body></html>"
-      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // STRICT ascii encode: String.getBytes(US_ASCII) silently substitutes
+    // '?' for unmappable chars, while the DuckDB oracle encodes UTF-8 — a
+    // non-ASCII doc would then fail the gate with no hint at the cause.
+    // The testdata contract says text IS pure ASCII; this throws at the
+    // source the moment that ever stops holding.
+    val bb = java.nio.charset.StandardCharsets.US_ASCII.newEncoder()
+      .encode(java.nio.CharBuffer.wrap(s"<html><body><p>$text</p></body></html>"))
+    val body = java.util.Arrays.copyOf(bb.array(), bb.limit())
     (url, graft.sources.Warc.buildResponseRecord(url, s"doc-$id", body))
   }
 

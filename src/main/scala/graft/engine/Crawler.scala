@@ -714,7 +714,12 @@ final class Crawler(
             cuckooPrev = None
             // Spark applies accumulator updates from the failed attempt's
             // SUCCESSFUL tasks; the retry re-runs the whole plan, so
-            // without a reset the pruning metric double-counts
+            // without a reset the pruning metric double-counts. KNOWN
+            // NARROW RACE: a straggler task of the failed attempt whose
+            // success event lands AFTER this reset still re-inflates the
+            // count — bounded by one attempt's tasks, diagnostic-only (the
+            // metric gates nothing), and not worth serializing the
+            // DAGScheduler event loop to close.
             prefilterSkipped.reset()
             prefilterSkipped.add(skippedBeforeAttempt)
             insertIntoCuckoo(seen) // full backfill: seen already includes this round's batch

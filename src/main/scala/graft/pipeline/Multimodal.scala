@@ -109,7 +109,16 @@ object Multimodal {
     * all four from doc_id, so a wrong box offset, a missed version
     * branch, or fixed-point mis-shift breaks the hash.
     */
-  def mediaMetaVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def mediaMetaVideo(spark: SparkSession, docs: DataFrame): DataFrame =
+    mediaMetaVideoUnsorted(spark, docs).orderBy("doc_id")
+
+  /** The parse WITHOUT mediaMetaVideo's query-surface ordering: the frame
+    * sampler explodes (destroying row order) and applies its own final
+    * sort — feeding it the sorted variant would pay a full range-partition
+    * exchange for nothing (Catalyst does not eliminate a Sort below a
+    * Generate).
+    */
+  private def mediaMetaVideoUnsorted(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val src = docs.select(col("doc_id")).as[Long]
     src.mapPartitions { it =>
@@ -120,7 +129,6 @@ object Multimodal {
         (id, payload.length.toLong, "mp4", m.width, m.height, m.frames, m.durationMs)
       }
     }.toDF("doc_id", "n_bytes", "fmt", "width", "height", "frames", "duration_ms")
-      .orderBy("doc_id")
   }
 
   /** Frame sampling driven by REAL parsed video metadata (not the stub
@@ -130,7 +138,7 @@ object Multimodal {
     * cannot skew a partition.
     */
   def sampleFramesVideo(spark: SparkSession, docs: DataFrame, everyNth: Long = 7): DataFrame =
-    mediaMetaVideo(spark, docs)
+    mediaMetaVideoUnsorted(spark, docs)
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("frames") - 1, lit(everyNth))).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
@@ -149,7 +157,11 @@ object Multimodal {
     * heavy decode so one large video cannot skew a partition).
     */
   def sampleFrames(spark: SparkSession, docs: DataFrame, everyNth: Long = 7): DataFrame = {
-    val meta = mediaMeta(spark, docs)
+    // unsorted meta core: the explode destroys row order and the final
+    // orderBy below re-sorts, so mediaMeta's surface sort would be a
+    // wasted full exchange (same reasoning as sampleFramesVideo)
+    val meta = decodeMeta(spark, docs).toDF()
+      .select("doc_id", "n_bytes", "fmt", "width", "height", "frames")
     meta.filter(col("fmt") === "video")
       .select(col("doc_id"), explode(sequence(lit(0L), col("frames") - 1, lit(everyNth))).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
