@@ -72,6 +72,16 @@ class PlanSpec extends AnyFunSuite {
       s"at most the final rangepartitioning exchange expected:\n${plan.take(1500)}")
   }
 
+  test("recrawl_due: map-only — the only exchange is the output ordering") {
+    // the 10^10-url contract: one narrow projection + filter over the
+    // history table; staleness arithmetic must never shuffle
+    val plan = planOf(CrawlQueries.recrawlDue(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the due-set filter and staleness arithmetic are per-row — no hash shuffle")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"at most the final rangepartitioning exchange expected:\n${plan.take(1500)}")
+  }
+
   test("pagerank_hosts: exactly ONE sort (its own output order), no inherited edge sort") {
     // regression: pagerank_hosts used to build on link_graph's SORTED
     // query surface, paying a full range-partition sort exchange over the
