@@ -146,14 +146,23 @@ object PipelineQueries {
     */
   private def warcSyntheticRecord(id: Long, text: String): (String, Array[Byte]) = {
     val url = graft.corpus.Fixtures.base(id) + "/page.html"
-    // STRICT ascii encode: String.getBytes(US_ASCII) silently substitutes
-    // '?' for unmappable chars, while the DuckDB oracle encodes UTF-8 — a
+    // STRICT ascii: String.getBytes(US_ASCII) silently substitutes '?'
+    // for unmappable chars, while the DuckDB oracle encodes UTF-8 — a
     // non-ASCII doc would then fail the gate with no hint at the cause.
-    // The testdata contract says text IS pure ASCII; this throws at the
-    // source the moment that ever stops holding.
-    val bb = java.nio.charset.StandardCharsets.US_ASCII.newEncoder()
-      .encode(java.nio.CharBuffer.wrap(s"<html><body><p>$text</p></body></html>"))
-    val body = java.util.Arrays.copyOf(bb.array(), bb.limit())
+    // The testdata contract says text IS pure ASCII; validate per row
+    // (one branchy char scan, no per-row encoder allocation — this runs
+    // inside the mapPartitions hot loop) and throw the moment that ever
+    // stops holding.
+    val s = s"<html><body><p>$text</p></body></html>"
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80)
+        throw new IllegalArgumentException(
+          s"doc $id text is not pure ASCII (char U+${s.charAt(i).toInt.toHexString} at $i); " +
+            "the WARC oracle's octet arithmetic assumes ASCII")
+      i += 1
+    }
+    val body = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     (url, graft.sources.Warc.buildResponseRecord(url, s"doc-$id", body))
   }
 

@@ -167,6 +167,13 @@ object Robots {
             // unparsable values are IGNORED (they must not clobber a valid
             // delay declared earlier in the same group)
             if (open) value.toDoubleOption.foreach(d => delay = Some(math.max(0L, (d * 1000).toLong)))
+          case "sitemap" =>
+            // RFC 9309 "other record": complete no-op for grouping — in
+            // particular a Sitemap line BETWEEN consecutive User-agent
+            // lines must not split their shared header (clearing inHeader
+            // here would flush token A into an empty group and hand the
+            // following rules to token B alone)
+            ()
           case _ =>
             inHeader = false
         }
@@ -177,10 +184,13 @@ object Robots {
   }
 
   /** `Sitemap:` directives (the sitemaps.org cross-convention discovery
-    * channel; RFC 9309 treats it as an "other record" outside groups, so
-    * it neither opens nor closes a group). Values are absolute urls per
-    * the protocol; comments strip like any other line. Order preserved —
-    * publishers list their preferred sitemap first.
+    * channel; RFC 9309 treats it as an "other record" outside groups — and
+    * parseGroups honors that with an explicit no-op, so a directive BETWEEN
+    * User-agent lines does not split their shared header). Values are
+    * absolute urls per the protocol; order preserved — publishers list
+    * their preferred sitemap first. The line discipline here (comment
+    * strip, first-colon key split, trim) MUST mirror parseGroups' — the
+    * two scans must never disagree on what a line says.
     */
   def sitemaps(body: String): Vector[String] = {
     val out = Vector.newBuilder[String]

@@ -39,10 +39,18 @@ object Sitemaps {
     if (loc == null) null else graft.urls.Urls.resolve(base, loc.trim)
   }
 
-  def discover(corpus: DataFrame): DataFrame = {
+  def discover(corpus: DataFrame): DataFrame =
+    urlsetEntries(corpus.filter(col("url").endsWith("/sitemap.xml")))
+
+  /** `<urlset>` extraction over the GIVEN sitemap documents — url-keyed,
+    * no filename convention, so callers that know their sitemap urls some
+    * other way (an index entry, a robots.txt declaration) reuse the same
+    * extraction instead of re-imposing the /sitemap.xml naming.
+    */
+  private def urlsetEntries(sitemapDocs: DataFrame): DataFrame = {
     val x = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0),
       sitemapJob, JsProperty, scroll = false)
-    corpus.filter(col("url").endsWith("/sitemap.xml"))
+    sitemapDocs
       .select(col("url").as("sitemap_url"), x.as("x"))
       .select(col("sitemap_url"), posexplode(col("x.items")).as(Seq("pos", "item")))
       .select(col("sitemap_url"), col("pos"),
@@ -69,10 +77,19 @@ object Sitemaps {
     * Output: (index_url, sitemap_pos, pos, url, lastmod) — two-level
     * publisher ordering for the frontier's priority column.
     */
-  def discoverIndexed(corpus: DataFrame): DataFrame = {
+  def discoverIndexed(corpus: DataFrame): DataFrame =
+    indexEntries(corpus, corpus.filter(col("url").endsWith("/sitemap_index.xml")))
+
+  /** Index recursion over the GIVEN index documents: extract their
+    * `<sitemap>` refs, resolve the REFERENCED sitemap documents from the
+    * corpus BY URL (a member sitemap may live at any path — the old join
+    * against convention-named /sitemap.xml docs silently dropped members
+    * at other paths), and run the urlset extraction on exactly those.
+    */
+  private def indexEntries(corpus: DataFrame, indexDocs: DataFrame): DataFrame = {
     val xi = CrawlExtractExpression(col("html"), col("url"), lit(1), lit(0),
       indexJob, JsProperty, scroll = false)
-    val refs = corpus.filter(col("url").endsWith("/sitemap_index.xml"))
+    val refs = indexDocs
       .select(col("url").as("index_url"), xi.as("x"))
       .select(col("index_url"), posexplode(col("x.items")).as(Seq("sitemap_pos", "item")))
       .select(col("index_url"), col("sitemap_pos"),
@@ -80,7 +97,9 @@ object Sitemaps {
       .filter(col("sitemap_url").isNotNull)
       // same-host discipline applies to index entries too
       .filter(expr("parse_url(index_url, 'HOST') = parse_url(sitemap_url, 'HOST')"))
-    refs.join(discover(corpus), Seq("sitemap_url"))
+    val memberDocs = corpus.join(
+      broadcast(refs.select(col("sitemap_url").as("url")).distinct()), Seq("url"))
+    refs.join(urlsetEntries(memberDocs), Seq("sitemap_url"))
       .select(col("index_url"), col("sitemap_pos"), col("pos"), col("url"), col("lastmod"))
   }
 
@@ -104,7 +123,21 @@ object Sitemaps {
     val declared = corpus.filter(col("url").endsWith("/robots.txt"))
       .select(col("url").as("robots_url"), explode(declaredOf(col("html"))).as("index_url"))
       .filter(expr("parse_url(robots_url, 'HOST') = parse_url(index_url, 'HOST')"))
-    broadcast(declared).join(discoverIndexed(corpus), Seq("index_url"))
+      // one winner per declared url: a host serving robots.txt under url
+      // VARIANTS (http+https) would otherwise double every discovered row
+      // — same min-by determinism as the crawler's robots dimension
+      .groupBy("index_url").agg(min(col("robots_url")).as("robots_url"))
+    // the declared document may be an INDEX or a plain URLSET (the
+    // protocol's common case) at ANY path — resolve it by url and run
+    // both extractions; each document matches exactly one of the two
+    // scopes, so the union never double-counts
+    val declaredDocs = corpus.join(
+      broadcast(declared.select(col("index_url").as("url")).distinct()), Seq("url"))
+    val entries = indexEntries(corpus, declaredDocs).unionByName(
+      urlsetEntries(declaredDocs).select(
+        col("sitemap_url").as("index_url"), lit(0).cast("int").as("sitemap_pos"),
+        col("pos"), col("url"), col("lastmod")))
+    broadcast(declared).join(entries, Seq("index_url"))
       .select(col("robots_url"), col("index_url"), col("sitemap_pos"),
         col("pos"), col("url"), col("lastmod"))
   }

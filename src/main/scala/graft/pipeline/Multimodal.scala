@@ -147,9 +147,15 @@ object Multimodal {
     * from byte length — DuckDB mirrors with octet_length(encode(text))).
     */
   def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    mediaMetaUnsorted(spark, docs).orderBy("doc_id")
+
+  /** ONE owner of the oracle projection, without the query-surface sort —
+    * the frame sampler builds here (same pattern as
+    * [[mediaMetaVideoUnsorted]]).
+    */
+  private def mediaMetaUnsorted(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(spark, docs).toDF()
       .select("doc_id", "n_bytes", "fmt", "width", "height", "frames")
-      .orderBy("doc_id")
 
   /** Frame-sampling plumbing: explode a deterministic frame index range per
     * video row (stub for per-frame feature extraction; shows the fan-out
@@ -160,9 +166,7 @@ object Multimodal {
     // unsorted meta core: the explode destroys row order and the final
     // orderBy below re-sorts, so mediaMeta's surface sort would be a
     // wasted full exchange (same reasoning as sampleFramesVideo)
-    val meta = decodeMeta(spark, docs).toDF()
-      .select("doc_id", "n_bytes", "fmt", "width", "height", "frames")
-    meta.filter(col("fmt") === "video")
+    mediaMetaUnsorted(spark, docs).filter(col("fmt") === "video")
       .select(col("doc_id"), explode(sequence(lit(0L), col("frames") - 1, lit(everyNth))).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
   }

@@ -101,6 +101,40 @@ class EngineSurfaceSpec extends AnyFunSuite {
       s"round one must fetch exactly the top-priority slice: got $crawled want $top3")
   }
 
+  test("robots-declared sitemaps resolve at ANY path: plain urlset, odd-named index, url variants deduped") {
+    val s = spark
+    import s.implicits._
+    val ts = new java.sql.Timestamp(1704067200000L)
+    def page(url: String, body: String) = (url, ts, body.getBytes("UTF-8"), "", "en")
+    val corpus = Seq(
+      // host a: plain urlset at a NON-convention path, declared by robots
+      // served under BOTH http and https (variant dedup)
+      page("http://a.test/robots.txt",
+        "User-agent: *\nSitemap: http://a.test/deep/my-map.xml\n"),
+      page("https://a.test/robots.txt",
+        "User-agent: *\nSitemap: http://a.test/deep/my-map.xml\n"),
+      page("http://a.test/deep/my-map.xml",
+        "<urlset><url><loc>http://a.test/p1.html</loc><lastmod>2024-01-01</lastmod></url>" +
+          "<url><loc>http://a.test/p2.html</loc><lastmod>2024-01-02</lastmod></url></urlset>"),
+      // host b: an INDEX at a non-convention name whose member sitemap is
+      // also at a non-convention path
+      page("http://b.test/robots.txt",
+        "User-agent: *\nSitemap: http://b.test/idx-of-maps.xml\n"),
+      page("http://b.test/idx-of-maps.xml",
+        "<sitemapindex><sitemap><loc>http://b.test/maps/part-a.xml</loc></sitemap></sitemapindex>"),
+      page("http://b.test/maps/part-a.xml",
+        "<urlset><url><loc>http://b.test/q1.html</loc><lastmod>2024-02-01</lastmod></url></urlset>"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val out = graft.engine.Sitemaps.discoverFromRobots(corpus)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(4))).toSet
+    assert(out == Set(
+      // http variant wins (min robots_url), plain urlset gets sitemap_pos 0
+      ("http://a.test/robots.txt", "http://a.test/deep/my-map.xml", 0, "http://a.test/p1.html"),
+      ("http://a.test/robots.txt", "http://a.test/deep/my-map.xml", 0, "http://a.test/p2.html"),
+      ("http://b.test/robots.txt", "http://b.test/idx-of-maps.xml", 0, "http://b.test/q1.html")),
+      s"got: $out")
+  }
+
   test("recrawl due-set feeds the priority frontier: stalest urls fetched first") {
     val s = spark
     import s.implicits._

@@ -397,6 +397,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Robots.parse(body).isAllowed("/private/x"))
     assert(Robots.parse(body).isAllowed("/public/x"))
     assert(Robots.sitemaps("User-agent: *\nDisallow: /x/\n") == Vector.empty)
+    // RFC 9309 other-record non-interference: a Sitemap line BETWEEN
+    // consecutive User-agent lines must not split their shared header —
+    // both tokens get the group's rules
+    val split =
+      """User-agent: abot
+        |Sitemap: http://a.test/s.xml
+        |User-agent: bbot
+        |Disallow: /private/
+        |""".stripMargin
+    assert(!Robots.parseFor(split, "abot").isAllowed("/private/x"),
+      "token before the directive must keep the shared group's rules")
+    assert(!Robots.parseFor(split, "bbot").isAllowed("/private/x"))
   }
 
   test("robots REP patterns: * wildcard and $ anchor, longest-match wins") {
