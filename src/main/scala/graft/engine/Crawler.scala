@@ -103,7 +103,13 @@ final class Crawler(
         spark.sparkContext
           .parallelize(effective, spark.sparkContext.defaultParallelism)
           .toDF("seed_id", "url")
-      else effective.toDF("seed_id", "url")
+      // small lists: ONE partition, not leafNodeDefaultParallelism's 32 —
+      // a <10^4-row frontier spread over 32 near-empty partitions makes
+      // every downstream stage (seed checkpoint, broadcast build, newSeen
+      // exchange) pay 32 tasks of fixed overhead for microseconds of row
+      // work (guide §2.2); the enrich UDFs over <10^4 urls are a few ms
+      // single-task
+      else effective.toDF("seed_id", "url").coalesce(1)
     base
       .withColumn("page_no", lit(1))
       .withColumn("cursor", lit(0))
@@ -437,7 +443,16 @@ final class Crawler(
           val b = B.lazyCache(
             frontier.orderBy(col("priority"), col("host_bucket"), col("seed_id"), col("url"))
               .limit(n.toInt))
-          val rest = frontier.join(b.select("seed_id", "url"), Seq("seed_id", "url"), "left_anti")
+          // the batch side's row count is DRIVER-KNOWN (= n): pick the
+          // anti-join strategy deliberately (guide §3.1) — broadcast the
+          // small slice instead of letting the planner default to a
+          // sort-merge join (checkpointed/persisted leaves carry no size
+          // stats, so without the hint nothing ever auto-broadcasts and
+          // both sides pay an exchange)
+          val bKeys = b.select("seed_id", "url")
+          val rest = frontier.join(
+            if (n <= config.broadcastJoinRows) broadcast(bKeys) else bKeys,
+            Seq("seed_id", "url"), "left_anti")
           (b, rest, n)
         case _ => (frontier, spark.emptyDataFrame, frontierCount)
       }
@@ -637,6 +652,16 @@ final class Crawler(
       // below can rebuild the shards from `seen` and re-plan.
       def dedupAndCheckpoint(): (DataFrame, Long) = {
         val cuckooOn = cuckooPrimed && cuckooRdd.nonEmpty
+        // seen's row count is DRIVER-KNOWN (seenEstimate is exact —
+        // batches are disjoint from prior seen): below the threshold,
+        // broadcast the seen side of the anti-join so neither side pays
+        // an exchange (guide §3.1 — checkpointed leaves have no stats,
+        // so the planner can never choose this itself; the successor
+        // side then stays fused with the extraction stage). Above it,
+        // the previous sort-merge shape — and past cuckooThreshold the
+        // executor-resident shards replace this join entirely.
+        def seenSide: DataFrame =
+          if (seenEstimate <= config.broadcastJoinRows) broadcast(seen) else seen
         val preFiltered =
           if (!cuckooOn) {
             val base = bloomOpt match {
@@ -653,9 +678,9 @@ final class Crawler(
                 val bloomNew = succHashed.filter(!rejectCounted(col("url_hash")))
                 bloomNew.unionByName(
                   succHashed.filter(quiet(col("url_hash")))
-                    .join(seen, Seq("seed_id", "url_hash"), "left_anti"))
+                    .join(seenSide, Seq("seed_id", "url_hash"), "left_anti"))
               case None =>
-                succHashed.join(seen, Seq("seed_id", "url_hash"), "left_anti")
+                succHashed.join(seenSide, Seq("seed_id", "url_hash"), "left_anti")
             }
             base
           } else {
@@ -678,15 +703,30 @@ final class Crawler(
 
         val succ = preFiltered.select("seed_id", "url", "page_no", "cursor",
           "host", "url_hash", "host_bucket", "priority")
+        // the next frontier's row count is bounded by DRIVER-KNOWN counts
+        // (successors ≤ batch — one next_page_url per page — plus the
+        // remainder): cap the checkpoint's partitions so a small frontier
+        // lands in few partitions instead of 32 near-empty ones every
+        // downstream stage then pays for (guide §2.2); large frontiers
+        // keep full parallelism and the partitioning-preserving wrap
+        val remainderCount = frontierCount - batchCount
+        val bound = batchCount + math.max(0L, remainderCount)
+        val maxParts = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          (bound + config.frontierRowsPerPartition - 1) / config.frontierRowsPerPartition)).toInt
         // a successor may already be QUEUED (in the unfetched remainder)
         // even though not yet seen — anti-join against the remainder too,
         // keeping the earlier-queued row (BFS order), so no url is fetched
         // twice. checkpoint + loop-control count, one driver job
         B.localCheckpointWithCount(
-          if (batchCount < frontierCount)
+          if (batchCount < frontierCount) {
+            val rKeys = remainder.select("seed_id", "url_hash")
             remainder.unionByName(
-              succ.join(remainder.select("seed_id", "url_hash"), Seq("seed_id", "url_hash"), "left_anti"))
-          else succ)
+              succ.join(
+                if (remainderCount <= config.broadcastJoinRows) broadcast(rKeys) else rKeys,
+                Seq("seed_id", "url_hash"), "left_anti"))
+          } else succ,
+          maxParts)
       }
       // mid-crawl SHARD-loss recovery: the shard RDD is locally
       // checkpointed (lineage truncated), so losing one of its blocks —
@@ -951,6 +991,19 @@ object Crawler {
       // disk instead of failing (see SeenShard scaladoc sizing math).
       // Tests force "DISK_ONLY" to prove the crawl survives spilled shards.
       shardStorageLevel: String = "MEMORY_AND_DISK",
+      // deliberate join strategy from driver-known row counts (guide §3.1):
+      // anti-join sides at or below this many rows are broadcast-hinted
+      // (checkpointed/persisted leaves carry no size stats, so the planner
+      // can never pick broadcast itself and defaults both sides into a
+      // sort-merge exchange). ~50 B/row ⇒ the default caps the broadcast
+      // near 25 MB; above it the r5 sort-merge shape is kept (and past
+      // cuckooThreshold the shards replace the seen join entirely)
+      broadcastJoinRows: Long = 500000L,
+      // partition-cap granularity for the per-round frontier checkpoint
+      // (guide §2.2 "fewer, larger map tasks"): partitions are sized to
+      // hold this many frontier rows, so a 5k-url round checkpoints into
+      // ONE partition while a 10^7-url round keeps every core busy
+      frontierRowsPerPartition: Long = 50000L,
       // pluggable fetch stage: None = the default fused corpus scan-join
       // (fetch before schedule — a miss consumes no politeness slot);
       // Some(f) = politeness schedules + paces FIRST, then f.fetch() runs

@@ -151,23 +151,88 @@ object Dedup {
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
       org.apache.spark.sql.types.StringType, 42L)
 
+  /** Open-addressing primitive long set — the per-doc shingle dedup runs
+    * in the signature UDF's hot loop, where a `java.util.HashSet[JLong]`
+    * boxes every probe (two allocations per window at ~10^3 windows/doc).
+    * 0 is reserved as the empty slot and tracked by a flag.
+    */
+  private final class LongSet(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, expected * 2 - 1)) << 1
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var hasZero = false
+    private var n = 0
+    def add(k: Long): Unit = {
+      if (k == 0L) { hasZero = true; return }
+      var i = (java.lang.Long.hashCode(k) * 0x9E3779B9) & mask
+      var cur = keys(i)
+      while (cur != 0L) {
+        if (cur == k) return
+        i = (i + 1) & mask
+        cur = keys(i)
+      }
+      keys(i) = k
+      n += 1
+      if (n * 4 > cap * 3) grow()
+    }
+    private def grow(): Unit = {
+      val old = keys
+      cap <<= 1
+      mask = cap - 1
+      keys = new Array[Long](cap)
+      var j = 0
+      while (j < old.length) {
+        val k = old(j)
+        if (k != 0L) {
+          var i = (java.lang.Long.hashCode(k) * 0x9E3779B9) & mask
+          while (keys(i) != 0L) i = (i + 1) & mask
+          keys(i) = k
+        }
+        j += 1
+      }
+    }
+    def toArray: Array[Long] = {
+      val out = new Array[Long](n + (if (hasZero) 1 else 0))
+      var j = 0
+      var i = 0
+      while (i < cap) { val k = keys(i); if (k != 0L) { out(j) = k; j += 1 }; i += 1 }
+      if (hasZero) out(j) = 0L
+      out
+    }
+  }
+
   /** Distinct k-shingle hashes of one text, unsorted. Per-doc local work —
-    * the shingle set never rides a shuffle.
+    * the shingle set never rides a shuffle. ASCII texts (the common case)
+    * hash k-byte windows of the char buffer in place — no substring /
+    * UTF8String allocation per window; the value is bit-identical to
+    * `xxhash64(substring)` because a pure-ASCII window's UTF-8 bytes ARE
+    * its chars (parity pinned in PipelineSpec).
     */
   private def shingleHashes(text: String, k: Int): Array[Long] = {
     val n = text.length - k + 1
     if (n <= 0) return Array.empty
-    val set = new java.util.HashSet[java.lang.Long](math.min(n, 1 << 12))
+    val set = new LongSet(math.min(n, 1 << 12))
+    var ascii = true
     var i = 0
-    while (i < n) {
-      set.add(xx64(text.substring(i, i + k)))
-      i += 1
+    while (ascii && i < text.length) {
+      if (text.charAt(i) >= 0x80) ascii = false else i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    out
+    if (ascii) {
+      val bytes = new Array[Byte](text.length)
+      i = 0
+      while (i < text.length) { bytes(i) = text.charAt(i).toByte; i += 1 }
+      val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      i = 0
+      while (i < n) {
+        set.add(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, base + i, k, 42L))
+        i += 1
+      }
+    } else {
+      i = 0
+      while (i < n) { set.add(xx64(text.substring(i, i + k))); i += 1 }
+    }
+    set.toArray
   }
 
   /** Profiling/diagnostics access to [[shingleHashes]]. */
@@ -238,6 +303,72 @@ object Dedup {
     }
   }
 
+  /** One-pass minhash v2: text → (per-band bucket hashes, signature packed
+    * as ints — every component is < 2^31 mod the Mersenne prime, so Int
+    * halves the signature table). Two CPU-level changes over [[minhashUdf]]
+    * (same math, bit-identical signatures): permutation-outer loop order so
+    * each component's running min lives in a register instead of 128
+    * read-modify-writes per shingle, and the mod-(2^31-1) reduction as two
+    * shift-adds (2^31 ≡ 1 mod M) instead of a 64-bit division.
+    * Band bucket hashes keep v1's FNV fold over the component LONGS, so
+    * bucket values — hence candidates — are unchanged.
+    */
+  private[graft] def minhashSigUdfPublic(k: Int, numPerm: Int, bands: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = minhashSigUdf(k, numPerm, bands)
+
+  private def minhashSigUdf(k: Int, numPerm: Int, bands: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rows = numPerm / bands
+    val (pa, pb) = permsFor(numPerm)
+    val kk = k
+    val M = MersennePrime
+    udf { (text: String) =>
+      val hs = shingleHashes(text, kk)
+      var i = 0
+      while (i < hs.length) { hs(i) = ((hs(i) % M) + M) % M; i += 1 }
+      val sigL = new Array[Long](numPerm)
+      var p = 0
+      while (p < numPerm) {
+        val a = pa(p); val b = pb(p)
+        var best = Long.MaxValue
+        i = 0
+        while (i < hs.length) {
+          var v = hs(i) * a + b // < 2^62: both factors < 2^31
+          v = (v & M) + (v >>> 31)
+          v = (v & M) + (v >>> 31)
+          if (v >= M) v -= M
+          if (v < best) best = v
+          i += 1
+        }
+        sigL(p) = best
+        p += 1
+      }
+      val bh = new Array[Long](bands)
+      var bandIdx = 0
+      while (bandIdx < bands) {
+        var h = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rows) {
+          var v = sigL(bandIdx * rows + r)
+          var byteIdx = 0
+          while (byteIdx < 8) { h ^= (v & 0xffL); h *= 0x100000001b3L; v >>>= 8; byteIdx += 1 }
+          r += 1
+        }
+        bh(bandIdx) = h
+        bandIdx += 1
+      }
+      val sig = new Array[Int](numPerm)
+      p = 0
+      while (p < numPerm) {
+        // empty-shingle docs keep v1's Long.MaxValue sentinel, encoded as
+        // Int.MaxValue (= M, unreachable by mod-M components)
+        sig(p) = if (sigL(p) == Long.MaxValue) Int.MaxValue else sigL(p).toInt
+        p += 1
+      }
+      (bh, sig)
+    }
+  }
+
   /** MinHash + LSH banding: candidates from band-bucket collisions, then
     * exact-Jaccard verification. With the default `estMargin` the output
     * EQUALS [[ngramJaccardPairs]] ON THIS CORPUS — an empirical, seeded
@@ -292,50 +423,65 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                       numPerm: Int = 128, bands: Int = 16,
                       estMargin: Double = 0.125): DataFrame = {
+    val B = org.apache.spark.sql.GraftSqlBridge
     val kk = k
-    val mh = minhashUdf(k, numPerm, bands)
-    // member = [doc_id, sig_0 .. sig_{numPerm-1}] — a flat long array so the
-    // bucket aggregate needs no struct (UDFs cannot take Row-typed inputs)
-    val withSig = docs.select(col("doc_id"), explode(mh(col("text"))).as("e"))
-      .select(col("e._1").as("band"), col("e._2").as("bsig"),
-        concat(array(col("doc_id")), col("e._3")).as("member"))
+    // signature pass: ONE row per doc. The tiny single-split documents
+    // input is spread across the session's cores first — the signature UDF
+    // is the operator's CPU core and must not serialize on the input file
+    // layout (guide §2.5 input-skew note); inputs already as parallel as
+    // the session keep their layout, so a many-split corpus never pays an
+    // extra shuffle. lazyCache (RDD persist, no CacheManager entry) makes
+    // the pass run exactly once for its three consumers.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spreadDocs =
+      if (docs.rdd.getNumPartitions < par)
+        docs.select(col("doc_id"), col("text")).repartition(par, col("doc_id"))
+      else docs.select(col("doc_id"), col("text"))
+    val sigs = B.lazyCache(
+      spreadDocs.select(col("doc_id"), minhashSigUdf(k, numPerm, bands)(col("text")).as("s"))
+        .select(col("doc_id"), col("s._1").as("bh"), col("s._2").as("sig")))
     val estCutoff = math.max(0, math.ceil((threshold - estMargin) * numPerm).toInt)
-    // bucket-local pair generation + est-prescreen: primitive compares,
-    // one bucket per task row; emits (min,max) so cross-band duplicates
-    // collapse in the distinct below
-    val estPairs = udf { (members: Seq[Seq[Long]]) =>
-      val n = members.length
-      if (n < 2) Seq.empty[(Long, Long)]
-      else {
-        val packed = new Array[Array[Long]](n)
-        var i = 0
-        members.foreach { s => packed(i) = s.toArray; i += 1 }
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            val sa = packed(i); val sb = packed(j)
-            var m = 0
-            var p = 1
-            while (p < sa.length) { if (sa(p) == sb(p)) m += 1; p += 1 }
-            if (m >= estCutoff && sa(0) != sb(0)) {
-              out += (if (sa(0) < sb(0)) (sa(0), sb(0)) else (sb(0), sa(0)))
-            }
-            j += 1
-          }
-          i += 1
+    // bucket-local pair generation over 8-byte doc ids: the bucket shuffle
+    // no longer carries bands × 512 B of signature per doc (v1's member
+    // rows) — signatures are attached ONCE per candidate pair from the
+    // signature table below (guide §2.3/§8: shuffle keys, attach payloads
+    // once). Sorted so emitted pairs are (min, max) like v1's.
+    val bucketPairs = udf { (ids: Seq[Long]) =>
+      val a = ids.toArray
+      java.util.Arrays.sort(a)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) {
+          if (a(i) != a(j)) out += ((a(i), a(j)))
+          j += 1
         }
-        out.toSeq
+        i += 1
       }
+      out.toSeq
     }
-    val cand = withSig
+    // est-prescreen criterion identical to v1's in-bucket compare (count of
+    // equal signature components ≥ cutoff — bucket-independent), so the
+    // survivor set is unchanged
+    val estPass = udf { (sa: Array[Int], sb: Array[Int]) =>
+      var m = 0
+      var p = 0
+      while (p < sa.length) { if (sa(p) == sb(p)) m += 1; p += 1 }
+      m >= estCutoff
+    }
+    val cand = sigs
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bsig")))
       .groupBy(col("band"), col("bsig"))
-      .agg(collect_list(col("member")).as("members"))
+      .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(estPairs(col("members"))).as("p"))
+      .select(explode(bucketPairs(col("members"))).as("p"))
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct()
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .filter(estPass(col("a_sig"), col("b_sig")))
+      .select("a_id", "b_id")
       // survivor set feeds the id-prune union twice + the verify join;
       // it is barely larger than the true-pair count, so caching is free
       .cache()

@@ -22,20 +22,43 @@ object GraftSqlBridge {
     * executor block registration and re-runs the whole plan — measured
     * 1.7× slower; this keeps the proven eager ordering.)
     */
-  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) =
+    localCheckpointWithCount(df, Int.MaxValue)
+
+  /** As above, with a partition cap for SMALL checkpoints. A frontier of a
+    * few thousand rows checkpointed across 32 near-empty partitions makes
+    * every downstream consumer (broadcast builds, the newSeen exchange of
+    * the successor anti-join, resume-time seen unions) a 32-task stage
+    * whose per-task shuffle-file/scheduling overhead dwarfs its row work
+    * (guide §2.2 "fewer, larger map tasks"; measured ~200 ms/task constant
+    * at sf0.1/local[32]). Callers pass a cap derived from a DRIVER-KNOWN
+    * row count (batch size), so big frontiers keep full parallelism —
+    * the cap is scale-adaptive, never a constant.
+    *
+    * When the cap coalesces, the checkpoint is wrapped WITHOUT the origin
+    * plan's outputPartitioning claim (internalCreateDataFrame): coalesce
+    * changes the partition count, so the claim would be wrong — and a
+    * wrong claimed HashPartitioning would let a later same-keyed join
+    * skip a required exchange and produce bad rows. Coalesced frontiers
+    * are small by construction, and their joins broadcast (Crawler's
+    * driver-known-size thresholds), so the claim is also worthless there.
+    * Uncapped checkpoints keep the r3 fromDataset behavior: dropping the
+    * claim for LARGE frontiers measured 1.9× slower at 960k-page rounds
+    * under local-cluster (every round re-shuffled the seen union).
+    */
+  def localCheckpointWithCount(df: DataFrame, maxParts: Int): (DataFrame, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val ds = df.asInstanceOf[classic.Dataset[_]]
-    val rdd = df.queryExecution.toRdd.map(_.copy())
+    val rdd0 = df.queryExecution.toRdd.map(_.copy())
+    val coalesced = maxParts > 0 && rdd0.getNumPartitions > maxParts
+    val rdd = if (coalesced) rdd0.coalesce(maxParts) else rdd0
     rdd.localCheckpoint()
     val n = rdd.count()
-    // LogicalRDD.fromDataset — the same factory Dataset.checkpoint uses —
-    // carries the physical plan's outputPartitioning/outputOrdering across
-    // the checkpoint. Dropping them (plain internalCreateDataFrame) makes
-    // every later round re-shuffle the whole seen-union: measured 1.9×
-    // slower at 960k-page rounds under local-cluster.
-    val logical = org.apache.spark.sql.execution.LogicalRDD
-      .fromDataset(rdd, ds, isStreaming = false)
-    (classic.Dataset.ofRows(spark, logical), n)
+    val out =
+      if (coalesced) spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = false)
+      else classic.Dataset.ofRows(spark, org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(rdd, ds, isStreaming = false))
+    (out.toDF(), n)
   }
 
   /** LAZY materialization boundary with checkpoint-like lifecycle.
