@@ -60,7 +60,21 @@ final class HElem(
     if (classesCache == null) {
       classesCache = attrRaw("class") match {
         case null => Set.empty
-        case c    => c.split("\\s+").iterator.filter(_.nonEmpty).toSet
+        case c =>
+          // hand-rolled whitespace split: String.split("\\s+") compiles a
+          // fresh regex Pattern per call — per-element cost in the
+          // million-pages-per-round parse path (same rationale as the
+          // linear attr scan above)
+          val b = Set.newBuilder[String]
+          var i = 0
+          val n = c.length
+          while (i < n) {
+            while (i < n && Character.isWhitespace(c.charAt(i))) i += 1
+            val s = i
+            while (i < n && !Character.isWhitespace(c.charAt(i))) i += 1
+            if (i > s) b += c.substring(s, i)
+          }
+          b.result()
       }
     }
     classesCache

@@ -184,9 +184,10 @@ object HtmlParser {
   // ---------------------------------------------------------------- tree
 
   private def build(tokens: ArrayBuffer[Tok]): HElem = {
-    // Detect whether the author supplied html/head/body; synthesize like
-    // golang.org/x/net/html so xpath `//...` and scope `html` behave the same.
-    val hasHtml = tokens.exists { case TOpen("html", _, _) => true; case _ => false }
+    // html/head/body are synthesized like golang.org/x/net/html so xpath
+    // `//...` and scope `html` behave the same whether or not the author
+    // supplied them (the open/close handlers below fold author-supplied
+    // tags into the synthesized skeleton).
     val root = HElem("html")
     val head = HElem("head")
     val body = HElem("body")
@@ -257,7 +258,6 @@ object HtmlParser {
     if (!inBodyPhase) { // head-only document
       root.append(head); root.append(body); inBodyPhase = true
     }
-    val _ = hasHtml
     root
   }
 }
