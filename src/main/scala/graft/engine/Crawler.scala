@@ -65,8 +65,11 @@ final class Crawler(
     */
   def crawlPrioritized(job: Job, seeds: DataFrame): DataFrame =
     run(job,
+      // null-safe: the batch slice orders priority ascending (NULLS FIRST
+      // in Spark), so a null priority — e.g. an un-coalesced left join —
+      // would silently crawl BEFORE priority 0; send it to the back instead
       seeds.select(col("seed_id"), col("url"),
-          col("priority").cast("int").as("priority"))
+          coalesce(col("priority").cast("int"), lit(Int.MaxValue)).as("priority"))
         .withColumn("page_no", lit(1))
         .withColumn("cursor", lit(0)),
       scroll = false, mode = JsProperty)

@@ -31,7 +31,11 @@ object LinkGraph {
     * host a row belongs to.
     */
   def hostOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_extract(c, "https?://([^/?#]+)", 1)
+    // anchored: only strings that ARE http(s) URLs yield a host — an
+    // unanchored pattern would extract a host out of a URL embedded
+    // mid-string ('javascript:open("http://x.test")', 'junk http://x.test')
+    // and hand the graph a phantom edge instead of dropping the row
+    regexp_extract(c, "^https?://([^/?#]+)", 1)
 
   def hostEdges(links: DataFrame, urlCol: String = "url", hrefCol: String = "out"): DataFrame =
     links.select(
