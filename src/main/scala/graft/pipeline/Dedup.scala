@@ -423,7 +423,6 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                       numPerm: Int = 128, bands: Int = 16,
                       estMargin: Double = 0.125): DataFrame = {
-    val B = org.apache.spark.sql.GraftSqlBridge
     val kk = k
     // signature pass: ONE row per doc. The tiny single-split documents
     // input is spread across the session's cores first — the signature UDF
@@ -437,51 +436,61 @@ object Dedup {
       if (docs.rdd.getNumPartitions < par)
         docs.select(col("doc_id"), col("text")).repartition(par, col("doc_id"))
       else docs.select(col("doc_id"), col("text"))
-    val sigs = B.lazyCache(
-      spreadDocs.select(col("doc_id"), minhashSigUdf(k, numPerm, bands)(col("text")).as("s"))
-        .select(col("doc_id"), col("s._1").as("bh"), col("s._2").as("sig")))
+    val withSig = spreadDocs
+      .select(col("doc_id"), minhashSigUdf(k, numPerm, bands)(col("text")).as("s"))
+      .select(col("doc_id"), col("s._2").as("sig"),
+        posexplode(col("s._1")).as(Seq("band", "bsig")))
+    // member = [doc_id hi, doc_id lo, sig_0 .. sig_{numPerm-1}] as ints —
+    // half of v1's long-array member bytes in the bucket shuffle. The
+    // est-prescreen stays BUCKET-LOCAL (v1's shape): a measured funnel at
+    // sf0.1 runs 643k raw intra-bucket pairs → 256 survivors, so a
+    // pair-then-attach-signatures restructure (tried first) materialized
+    // ~640 MB of per-pair signature arrays for nothing — the prescreen
+    // must fire before anything pair-sized exists (guide §8's rule read
+    // the right way round: the bucket rows ARE the lightweight proxy,
+    // and the per-pair join was the sneak-in second shuffle).
+    val member = concat(
+      array(shiftright(col("doc_id"), 32).cast("int"), col("doc_id").cast("int")),
+      col("sig"))
     val estCutoff = math.max(0, math.ceil((threshold - estMargin) * numPerm).toInt)
-    // bucket-local pair generation over 8-byte doc ids: the bucket shuffle
-    // no longer carries bands × 512 B of signature per doc (v1's member
-    // rows) — signatures are attached ONCE per candidate pair from the
-    // signature table below (guide §2.3/§8: shuffle keys, attach payloads
-    // once). Sorted so emitted pairs are (min, max) like v1's.
-    val bucketPairs = udf { (ids: Seq[Long]) =>
-      val a = ids.toArray
-      java.util.Arrays.sort(a)
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      var i = 0
-      while (i < a.length) {
-        var j = i + 1
-        while (j < a.length) {
-          if (a(i) != a(j)) out += ((a(i), a(j)))
-          j += 1
+    // bucket-local pair generation + est-prescreen: primitive compares,
+    // one bucket per task row; emits (min,max) so cross-band duplicates
+    // collapse in the distinct below
+    val estPairs = udf { (members: Seq[Seq[Int]]) =>
+      val n = members.length
+      if (n < 2) Seq.empty[(Long, Long)]
+      else {
+        val packed = new Array[Array[Int]](n)
+        var i = 0
+        members.foreach { s => packed(i) = s.toArray; i += 1 }
+        def idOf(m: Array[Int]): Long = (m(0).toLong << 32) | (m(1).toLong & 0xffffffffL)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val sa = packed(i); val sb = packed(j)
+            var m = 0
+            var p = 2
+            while (p < sa.length) { if (sa(p) == sb(p)) m += 1; p += 1 }
+            val ida = idOf(sa); val idb = idOf(sb)
+            if (m >= estCutoff && ida != idb) {
+              out += (if (ida < idb) (ida, idb) else (idb, ida))
+            }
+            j += 1
+          }
+          i += 1
         }
-        i += 1
+        out.toSeq
       }
-      out.toSeq
     }
-    // est-prescreen criterion identical to v1's in-bucket compare (count of
-    // equal signature components ≥ cutoff — bucket-independent), so the
-    // survivor set is unchanged
-    val estPass = udf { (sa: Array[Int], sb: Array[Int]) =>
-      var m = 0
-      var p = 0
-      while (p < sa.length) { if (sa(p) == sb(p)) m += 1; p += 1 }
-      m >= estCutoff
-    }
-    val cand = sigs
-      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bsig")))
+    val cand = withSig
       .groupBy(col("band"), col("bsig"))
-      .agg(collect_list(col("doc_id")).as("members"))
+      .agg(collect_list(member).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(bucketPairs(col("members"))).as("p"))
+      .select(explode(estPairs(col("members"))).as("p"))
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct()
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .filter(estPass(col("a_sig"), col("b_sig")))
-      .select("a_id", "b_id")
       // survivor set feeds the id-prune union twice + the verify join;
       // it is barely larger than the true-pair count, so caching is free
       .cache()
