@@ -50,11 +50,30 @@ object Probe {
       }
     }
 
+    def gcMs(): Long = {
+      val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val c = it.next().getCollectionTime; if (c > 0) t += c }
+      t
+    }
+    def runCount(name: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+      stages.clear()
+      spark.sparkContext.setJobDescription(name)
+      val g0 = gcMs(); val t0 = System.nanoTime()
+      val df = f
+      val n = df.count()
+      println(f"PROBE $name%s total ${(System.nanoTime() - t0) / 1e9}%.3f s gc=${gcMs() - g0} rows=$n")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, line) =>
+        println(f"PROBE   stage $id%4d $line%s")
+      }
+    }
     // warm-up rep then measured rep, mirroring the bench shape
     run("crawl_list warm", graft.CrawlQueries.crawlList(spark, sfDir))
-    run("crawl_list", graft.CrawlQueries.crawlList(spark, sfDir))
-    run("crawl_xpath", graft.CrawlQueries.crawlXpath(spark, sfDir))
+    run("crawl_scroll warm", graft.CrawlQueries.crawlScroll(spark, sfDir))
     run("crawl_scroll", graft.CrawlQueries.crawlScroll(spark, sfDir))
+    runCount("crawl_rank_prioritized warm", graft.CrawlQueries.crawlRankPrioritized(spark, sfDir))
+    runCount("crawl_rank_prioritized", graft.CrawlQueries.crawlRankPrioritized(spark, sfDir))
     spark.stop()
   }
 }
