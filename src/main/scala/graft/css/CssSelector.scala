@@ -33,7 +33,16 @@ object Css {
 
   final case class Compound(simples: List[Simple])
   // combinator preceding the compound: ' ' descendant, '>' child, '+' adjacent, '~' general sibling
-  final case class Complex(head: Compound, rest: List[(Char, Compound)])
+  final case class Complex(head: Compound, rest: List[(Char, Compound)]) {
+    // precomputed walk order: matchesComplex runs once per candidate
+    // element per selector evaluation (every descendant of the context on
+    // a selectAll), so building these per CALL allocated two collections
+    // per node visit — measured as a leading allocator of the extraction
+    // hot path (ParseBench). Parse results are memoized, so this runs
+    // once per distinct selector string.
+    val all: Array[Compound] = (head :: rest.map(_._2)).toArray
+    val combs: Array[Char] = rest.map(_._1).toArray
+  }
   final case class SelectorList(complexes: List[Complex])
 
   // ------------------------------------------------------------------ parse
@@ -236,21 +245,68 @@ object Css {
 
   /** querySelectorAll(context, selector): descendants of `context` matching,
     * in document order.
+    *
+    * Direct recursive walk rather than the `descendants` Iterator: the
+    * lazy iterator allocates a Stack plus a reverseIterator per visited
+    * element, and select calls run ~16× per page in the extraction hot
+    * path (ParseBench measured the iterator machinery as a leading
+    * allocator). Document order and the Deadline poll per visited element
+    * are preserved.
     */
   def selectAll(context: HElem, selector: String): Vector[HElem] =
     selectAll(context, parse(selector))
 
-  def selectAll(context: HElem, sel: SelectorList): Vector[HElem] =
-    context.descendants.filter(e => matches(e, sel, context)).toVector
+  def selectAll(context: HElem, sel: SelectorList): Vector[HElem] = {
+    val out = Vector.newBuilder[HElem]
+    def walk(e: HElem): Unit = {
+      graft.html.Deadline.check()
+      if (matches(e, sel, context)) out += e
+      val cs = e.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match { case c: HElem => walk(c); case _ => }
+        i += 1
+      }
+    }
+    val cs = context.children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match { case c: HElem => walk(c); case _ => }
+      i += 1
+    }
+    out.result()
+  }
 
   def selectFirst(context: HElem, selector: String): Option[HElem] =
     selectFirst(context, parse(selector))
 
   def selectFirst(context: HElem, sel: SelectorList): Option[HElem] = {
-    val it = context.descendants
-    while (it.hasNext) {
-      val e = it.next()
-      if (matches(e, sel, context)) return Some(e)
+    def walk(e: HElem): HElem = {
+      graft.html.Deadline.check()
+      if (matches(e, sel, context)) return e
+      val cs = e.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case c: HElem =>
+            val r = walk(c)
+            if (r != null) return r
+          case _ =>
+        }
+        i += 1
+      }
+      null
+    }
+    val cs = context.children
+    var i = 0
+    while (i < cs.length) {
+      cs(i) match {
+        case c: HElem =>
+          val r = walk(c)
+          if (r != null) return Some(r)
+        case _ =>
+      }
+      i += 1
     }
     None
   }
@@ -260,8 +316,8 @@ object Css {
 
   private def matchesComplex(e: HElem, cx: Complex, scope: HElem): Boolean = {
     // rightmost compound must match e; walk left through combinators
-    val all = (cx.head :: cx.rest.map(_._2)).toVector
-    val combs = cx.rest.map(_._1).toVector // comb(i) sits between compound(i) and compound(i+1)
+    val all = cx.all
+    val combs = cx.combs // comb(i) sits between compound(i) and compound(i+1)
     def walk(elem: HElem, idx: Int): Boolean = {
       // compound idx must match elem; idx decreases toward 0 (leftmost)
       if (!matchesCompound(elem, all(idx), scope)) return false

@@ -258,60 +258,111 @@ object XPath {
 
   def findFirst(context: HElem, xpath: String): Option[HNode] = find(context, xpath).headOption
 
+  /** One step over the current node-set. Allocation-lean by design: the
+    * step runs once per context node (and, for `//`, once per DESCENDANT
+    * of each context node), so the previous per-parent collection churn —
+    * a lazy descendants Iterator (Stack + reverseIterator per node), a
+    * `toVector` of candidates, and `zipWithIndex.filter.map` per
+    * predicate — was the extraction path's leading allocator (ParseBench:
+    * the xpath family allocated 3.5× the css families per page).
+    * Candidates and predicate filtering reuse two scratch buffers; the
+    * identity seen-set is only materialized when the context has several
+    * nodes (a single context node cannot yield duplicate children /
+    * per-parent groups). Semantics — document order, per-parent
+    * position(), first-absolute-step self-match — are unchanged.
+    */
   private def evalStep(ctx: Vector[HNode], step: Step, firstAbsoluteStep: Boolean): Vector[HNode] = {
     val out = scala.collection.mutable.ArrayBuffer[HNode]()
-    val seen = java.util.Collections.newSetFromMap(new java.util.IdentityHashMap[HNode, java.lang.Boolean]())
+    val seen =
+      if (ctx.length > 1)
+        java.util.Collections.newSetFromMap(new java.util.IdentityHashMap[HNode, java.lang.Boolean]())
+      else null
+    var cand = new scala.collection.mutable.ArrayBuffer[HNode]
+    var tmp = new scala.collection.mutable.ArrayBuffer[HNode]
+
+    // fill `cand` with p's candidate children for this step's node test
+    def fillCandidates(p: HElem, includeSelfForAbsoluteRoot: Boolean): Unit = {
+      cand.clear()
+      step.test match {
+        case TextTest =>
+          val cs = p.children
+          var i = 0
+          while (i < cs.length) {
+            cs(i) match { case t: HText => cand += t; case _ => }
+            i += 1
+          }
+        case NameTest(nm) =>
+          // `/html` from the document root: our root IS the html element,
+          // so the first absolute step matches the root itself (golang's
+          // x/net document node has html as a child; our root doubles as
+          // both).
+          if (includeSelfForAbsoluteRoot && (nm == "*" || p.tag == nm)) cand += p
+          val star = nm == "*"
+          val cs = p.children
+          var i = 0
+          while (i < cs.length) {
+            cs(i) match {
+              case e: HElem if star || e.tag == nm => cand += e
+              case _ =>
+            }
+            i += 1
+          }
+      }
+    }
+
+    // filter `cand` in place through the predicates (position() counts
+    // within the current filtered list per predicate, as before), then
+    // emit into `out`
+    def applyPredsAndEmit(): Unit = {
+      var preds = step.preds
+      while (preds.nonEmpty) {
+        val pred = preds.head
+        val size = cand.length
+        tmp.clear()
+        var i = 0
+        while (i < size) {
+          val nd = cand(i)
+          if (predTruth(evalExpr(pred, nd, i + 1, size), i + 1)) tmp += nd
+          i += 1
+        }
+        val swap = cand; cand = tmp; tmp = swap
+        preds = preds.tail
+      }
+      var i = 0
+      while (i < cand.length) {
+        val nd = cand(i)
+        if (seen == null || seen.add(nd)) out += nd
+        i += 1
+      }
+    }
+
+    def childStep(p: HElem, includeSelf: Boolean): Unit = {
+      fillCandidates(p, includeSelf)
+      if (cand.nonEmpty) applyPredsAndEmit()
+    }
+
+    // /descendant-or-self::node()/child::test — group by parent so
+    // position() is per-parent, then concat in document (pre-)order.
+    def walkDesc(p: HElem): Unit = {
+      graft.html.Deadline.check()
+      childStep(p, includeSelf = false)
+      val cs = p.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match { case e: HElem => walkDesc(e); case _ => }
+        i += 1
+      }
+    }
+
     ctx.foreach {
       case e: HElem =>
         step.axis match {
-          case Child =>
-            val candidates = childCandidates(e, step.test, includeSelfForAbsoluteRoot = firstAbsoluteStep)
-            val filtered = applyPreds(candidates, step.preds)
-            filtered.foreach(nd => if (seen.add(nd)) out += nd)
-          case DescendantOrSelf =>
-            // /descendant-or-self::node()/child::test — group by parent so
-            // position() is per-parent, then concat in document order.
-            val selfAnd = Iterator.single(e: HNode) ++ e.descendants.map(x => x: HNode)
-            selfAnd.foreach {
-              case p: HElem =>
-                val candidates = childCandidates(p, step.test, includeSelfForAbsoluteRoot = false)
-                if (candidates.nonEmpty) {
-                  val filtered = applyPreds(candidates, step.preds)
-                  filtered.foreach(nd => if (seen.add(nd)) out += nd)
-                }
-              case _ =>
-            }
+          case Child            => childStep(e, includeSelf = firstAbsoluteStep)
+          case DescendantOrSelf => walkDesc(e)
         }
       case _ => // text nodes have no children
     }
     out.toVector
-  }
-
-  private def childCandidates(p: HElem, test: NodeTest, includeSelfForAbsoluteRoot: Boolean): Vector[HNode] =
-    test match {
-      case TextTest =>
-        p.children.iterator.collect { case t: HText => t: HNode }.toVector
-      case NameTest(nm) =>
-        // `/html` from the document root: our root IS the html element, so
-        // the first absolute step matches the root itself (golang's x/net
-        // document node has html as a child; our root doubles as both).
-        val base = p.children.iterator.collect { case e: HElem => e: HNode }.toVector
-        val withSelf =
-          if (includeSelfForAbsoluteRoot && (nm == "*" || p.tag == nm)) (p: HNode) +: base
-          else base
-        if (nm == "*") withSelf
-        else withSelf.filter { case e: HElem => e.tag == nm; case _ => false }
-    }
-
-  private def applyPreds(candidates: Vector[HNode], preds: List[Expr]): Vector[HNode] = {
-    var cur = candidates
-    preds.foreach { pred =>
-      val size = cur.length
-      cur = cur.zipWithIndex.filter { case (nd, idx) =>
-        predTruth(evalExpr(pred, nd, idx + 1, size), idx + 1)
-      }.map(_._1)
-    }
-    cur
   }
 
   private def predTruth(v: XValue, position: Int): Boolean = v match {
