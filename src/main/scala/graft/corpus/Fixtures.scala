@@ -257,9 +257,19 @@ object Fixtures {
       val par = spark.sparkContext.defaultParallelism
       val spread =
         if (df.rdd.getNumPartitions < par) df.repartition(par, col("url")) else df
-      spread.cache()
-      spread.count() // materialize once
-      spread
+      // RDD-level cache (lazyCache), not Dataset.cache: the columnar
+      // Dataset cache re-DECODES the html column for all rows on every
+      // scan — and the crawl fetch-join scans the whole corpus once per
+      // round, so a bench suite pays hundreds of MB of decompress/
+      // materialize churn per crawl rep (measured via per-rep allocation
+      // counters; this host's slow memory backend makes every collected
+      // byte expensive). Cached UnsafeRows are shared live objects: a scan
+      // iterates them with ZERO per-row allocation, and only join MATCHES
+      // copy bytes onward. Costs ~2x resident bytes vs the compressed
+      // columnar form — the right trade on every measured axis here.
+      val cached = org.apache.spark.sql.GraftSqlBridge.lazyCache(spread)
+      cached.count() // materialize once
+      cached
     })
   }
 

@@ -234,7 +234,18 @@ final class Crawler(
           if (seeds0.columns.contains("priority")) col("priority") else lit(0)
         val (chk, n) = B.localCheckpointWithCount(
           enrich(robotsFilter(applyStartPageBtn(job, seeds0)), seedPrio))
-        frontier = chk
+        // the seed count is only known AFTER the checkpoint job (unlike the
+        // per-round successor bound), so cap the layout post-hoc: a small
+        // seed frame arriving through a many-partition plan (e.g. a parquet
+        // scan-join, which bypasses seedFrame's small-list coalesce) would
+        // otherwise make round 1's broadcast build and anti-joins 32-task
+        // stages of near-empty overhead (guide §2.2). Narrow read of the
+        // cached blocks, no extra job; the dropped partitioning claim is
+        // worthless at these sizes (the batch broadcasts anyway).
+        val seedParts = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          (n + config.frontierRowsPerPartition - 1) / config.frontierRowsPerPartition)).toInt
+        frontier = if (chk.rdd.getNumPartitions > seedParts) chk.coalesce(seedParts) else chk
         frontierCount = n
     }
     // materialize the snapshot's seen union OFF the store's parquet files

@@ -177,4 +177,28 @@ object HElem {
     }
     new HElem(tag, names.toArray, values.toArray)
   }
+
+  /** Parser fast path: pre-split name/value arrays, no tuple Seq. Same
+    * first-wins duplicate rule as [[apply]]; the overwhelmingly common
+    * duplicate-free case adopts the arrays as-is (the tokenizer builds a
+    * fresh pair per tag, so adoption is safe).
+    */
+  def fromArrays(tag: String, names: Array[String], values: Array[String]): HElem = {
+    var dup = false
+    var i = 1
+    while (i < names.length && !dup) {
+      var j = 0
+      while (j < i && !dup) { dup = names(j) == names(i); j += 1 }
+      i += 1
+    }
+    if (!dup) return new HElem(tag, names, values)
+    val kn = ArrayBuffer[String]()
+    val kv = ArrayBuffer[String]()
+    i = 0
+    while (i < names.length) {
+      if (!kn.contains(names(i))) { kn += names(i); kv += values(i) }
+      i += 1
+    }
+    new HElem(tag, kn.toArray, kv.toArray)
+  }
 }

@@ -55,12 +55,86 @@ object HtmlParser {
 
   sealed trait Tok
   private final case class TText(s: String) extends Tok
-  private final case class TOpen(tag: String, attrs: ArrayBuffer[(String, String)], selfClose: Boolean) extends Tok
+  private final case class TOpen(tag: String, attrNames: Array[String],
+                                 attrValues: Array[String], selfClose: Boolean) extends Tok
   private final case class TClose(tag: String) extends Tok
   private final case class TComment(s: String) extends Tok
 
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Region-based lowercase name interning: tag and attribute names come
+    * from a small closed vocabulary in practice, but the tokenizer paid
+    * `substring` + `toLowerCase` — two allocations — for EVERY tag and
+    * attribute name of every page (million-pages-per-round hot path).
+    * Known names resolve by hashing the region case-insensitively and
+    * verifying with `regionMatches(ignoreCase)` — zero allocation; unknown
+    * names keep the exact old `substring(..).toLowerCase` path.
+    */
+  private object NameIntern {
+    private val known: Array[String] = Array(
+      // tags
+      "a", "abbr", "area", "article", "aside", "b", "base", "blockquote",
+      "body", "br", "button", "caption", "code", "col", "dd", "div", "dl",
+      "dt", "em", "embed", "footer", "form", "h1", "h2", "h3", "h4", "h5",
+      "h6", "head", "header", "hr", "html", "i", "iframe", "img", "input",
+      "label", "li", "link", "main", "meta", "nav", "ol", "option", "p",
+      "param", "pre", "script", "section", "select", "small", "source",
+      "span", "strong", "style", "table", "tbody", "td", "textarea",
+      "tfoot", "th", "thead", "title", "tr", "track", "u", "ul", "wbr",
+      // attribute names
+      "alt", "charset", "checked", "class", "content", "data-cursor",
+      "data-id", "data-next", "disabled", "height", "href", "id", "lang",
+      "name", "rel", "required", "selected", "src", "type", "value", "width")
+    // open-addressing table, power-of-two size with load < 0.5
+    private val cap = Integer.highestOneBit(known.length * 4 - 1) << 1
+    private val mask = cap - 1
+    private val table = new Array[String](cap)
+    known.foreach { s =>
+      var i = hashOf(s) & mask
+      while (table(i) != null) i = (i + 1) & mask
+      table(i) = s
+    }
+    private def lower(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    private def hashOf(s: String): Int = {
+      var h = 0
+      var i = 0
+      while (i < s.length) { h = h * 31 + lower(s.charAt(i)); i += 1 }
+      h
+    }
+    private def hashRegion(s: String, from: Int, until: Int): Int = {
+      var h = 0
+      var i = from
+      while (i < until) { h = h * 31 + lower(s.charAt(i)); i += 1 }
+      h
+    }
+    // ASCII-only case fold (matches `lower`): a non-ASCII char can never
+    // hit an interned name, so exotic names (e.g. Turkish dotted İ, whose
+    // Unicode toLowerCase is two chars) keep the exact legacy
+    // substring+toLowerCase behavior below
+    private def eqIgnoreCaseAscii(s: String, from: Int, cand: String): Boolean = {
+      var i = 0
+      while (i < cand.length) {
+        if (lower(s.charAt(from + i)) != cand.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+    /** Lowercase name of `s[from, until)`; allocation-free when known. */
+    def of(s: String, from: Int, until: Int): String = {
+      val len = until - from
+      if (len == 0) return ""
+      var i = hashRegion(s, from, until) & mask
+      var cand = table(i)
+      while (cand != null) {
+        if (cand.length == len && eqIgnoreCaseAscii(s, from, cand)) return cand
+        i = (i + 1) & mask
+        cand = table(i)
+      }
+      s.substring(from, until).toLowerCase
+    }
+  }
 
   /** case-insensitive indexOf without copying the document. */
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
@@ -103,8 +177,18 @@ object HtmlParser {
             flushText()
             var j = i + 2
             while (j < n && s.charAt(j) != '>') j += 1
-            val name = s.substring(i + 2, j).trim.toLowerCase
-            if (name.nonEmpty) out += TClose(name.takeWhile(ch => !ch.isWhitespace))
+            // legacy semantics `substring.trim.toLowerCase.takeWhile(!ws)`
+            // as region arithmetic: trim both ends, then cut at the first
+            // interior whitespace — the name region interns without
+            // allocating (toLowerCase never introduces whitespace, so
+            // folding before or after the cut is equivalent)
+            var from = i + 2
+            var until = j
+            while (from < until && s.charAt(from).isWhitespace) from += 1
+            while (until > from && s.charAt(until - 1).isWhitespace) until -= 1
+            var cut = from
+            while (cut < until && !s.charAt(cut).isWhitespace) cut += 1
+            if (cut > from) out += TClose(NameIntern.of(s, from, cut))
             i = if (j < n) j + 1 else n
           } else { text.append(c); i += 1 }
         } else if (isAsciiLetter(c1)) {
@@ -114,7 +198,7 @@ object HtmlParser {
           i = next
           // Raw text elements: consume until the matching close tag verbatim.
           tok match {
-            case TOpen(tag, _, false) if rawTextElements(tag) =>
+            case TOpen(tag, _, _, false) if rawTextElements(tag) =>
               val closeSeq = "</" + tag
               var j = indexOfIgnoreCase(s, closeSeq, i)
               if (j < 0) j = n
@@ -135,13 +219,24 @@ object HtmlParser {
     out
   }
 
+  private val noAttrs = Array.empty[String]
+
   private def readOpenTag(s: String, start: Int): (TOpen, Int) = {
     val n = s.length
     var i = start + 1
     val nameStart = i
     while (i < n && (isAsciiLetter(s.charAt(i)) || s.charAt(i).isDigit || s.charAt(i) == '-')) i += 1
-    val tag = s.substring(nameStart, i).toLowerCase
-    val attrs = ArrayBuffer[(String, String)]()
+    val tag = NameIntern.of(s, nameStart, i)
+    // parallel name/value buffers, allocated only when a first attribute
+    // exists (about half of real-page tags are attribute-less) — no
+    // per-attribute tuple, no ArrayBuffer for the common bare tag
+    var names: ArrayBuffer[String] = null
+    var values: ArrayBuffer[String] = null
+    def addAttr(name: String, v: String): Unit = {
+      if (names == null) { names = new ArrayBuffer[String](4); values = new ArrayBuffer[String](4) }
+      names += name
+      values += v
+    }
     var selfClose = false
     var done = false
     while (!done && i < n) {
@@ -157,7 +252,7 @@ object HtmlParser {
           // attribute name
           val an = i
           while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' && s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
-          val name = s.substring(an, i).toLowerCase
+          val name = NameIntern.of(s, an, i)
           while (i < n && s.charAt(i).isWhitespace) i += 1
           if (i < n && s.charAt(i) == '=') {
             i += 1
@@ -168,17 +263,19 @@ object HtmlParser {
               while (i < n && s.charAt(i) != q) i += 1
               val v = s.substring(vs, i)
               if (i < n) i += 1
-              if (name.nonEmpty) attrs += ((name, Entities.decode(v)))
+              if (name.nonEmpty) addAttr(name, Entities.decode(v))
             } else {
               val vs = i
               while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '>') i += 1
               val v = s.substring(vs, i)
-              if (name.nonEmpty) attrs += ((name, Entities.decode(v)))
+              if (name.nonEmpty) addAttr(name, Entities.decode(v))
             }
-          } else if (name.nonEmpty) attrs += ((name, ""))
+          } else if (name.nonEmpty) addAttr(name, "")
       }
     }
-    (TOpen(tag, attrs, selfClose), i)
+    (TOpen(tag,
+      if (names == null) noAttrs else names.toArray,
+      if (values == null) noAttrs else values.toArray, selfClose), i)
   }
 
   // ---------------------------------------------------------------- tree
@@ -208,7 +305,8 @@ object HtmlParser {
       else if (inBodyPhase) body
       else head
 
-    def openTag(tag: String, attrs: ArrayBuffer[(String, String)], selfClose: Boolean): Unit = {
+    def openTag(tag: String, attrNames: Array[String], attrValues: Array[String],
+                selfClose: Boolean): Unit = {
       tag match {
         case "html" =>
           // merge attributes into synthesized root
@@ -229,7 +327,7 @@ object HtmlParser {
             current.append(tb)
             stack += tb
           }
-          val e = HElem.apply(tag, attrs.toSeq)
+          val e = HElem.fromArrays(tag, attrNames, attrValues)
           current.append(e)
           if (!selfClose && !voidElements(tag)) stack += e
       }
@@ -252,7 +350,7 @@ object HtmlParser {
         if (inBodyPhase || stack.nonEmpty || t.trim.nonEmpty) current.append(new HText(t))
         else if (!inBodyPhase) head.append(new HText(t))
       case TComment(c) => current.append(new HComment(c))
-      case TOpen(tag, attrs, sc) => openTag(tag, attrs, sc)
+      case TOpen(tag, an, av, sc) => openTag(tag, an, av, sc)
       case TClose(tag) => closeTag(tag)
     }
     if (!inBodyPhase) { // head-only document

@@ -456,13 +456,17 @@ object Dedup {
     // bucket-local pair generation + est-prescreen: primitive compares,
     // one bucket per task row; emits (min,max) so cross-band duplicates
     // collapse in the distinct below
-    val estPairs = udf { (members: Seq[Seq[Int]]) =>
+    // Seq[Array[Int]], not Seq[Seq[Int]]: the nested members deserialize
+    // via toIntArray — one primitive copy per member instead of boxing
+    // every signature component (≈130 boxed Integers × |bucket| × 16 bands
+    // per doc otherwise — measured as the UDF's dominant allocation)
+    val estPairs = udf { (members: Seq[Array[Int]]) =>
       val n = members.length
       if (n < 2) Seq.empty[(Long, Long)]
       else {
         val packed = new Array[Array[Int]](n)
         var i = 0
-        members.foreach { s => packed(i) = s.toArray; i += 1 }
+        members.foreach { s => packed(i) = s; i += 1 }
         def idOf(m: Array[Int]): Long = (m(0).toLong << 32) | (m(1).toLong & 0xffffffffL)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
         i = 0

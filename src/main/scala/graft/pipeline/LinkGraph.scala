@@ -69,9 +69,20 @@ object LinkGraph {
     * near 50 MB; web-scale host dimensions (10^8) keep the sort-merge
     * shape.
     */
+  /** `dimRowsPerPartition`: the cached host/edge dimensions coalesce to
+    * partitions sized by this row count from the DRIVER-KNOWN counts the
+    * loop materializes anyway (guide §2.2 — a 50-row dimension cached
+    * across 32 near-empty partitions turns every per-iteration broadcast
+    * build into a 32-task stage of pure overhead; a 10^8-row dimension
+    * keeps every core).
+    */
   def pagerank(edges: DataFrame, iters: Int = 5, scale: Long = 1000000000000L,
-               broadcastHostRows: Long = 1000000L): DataFrame = {
+               broadcastHostRows: Long = 1000000L,
+               dimRowsPerPartition: Long = 50000L): DataFrame = {
     val B = org.apache.spark.sql.GraftSqlBridge
+    val par = edges.sparkSession.sparkContext.defaultParallelism.toLong
+    def capFor(rows: Long): Int =
+      math.max(1L, math.min(par, (rows + dimRowsPerPartition - 1) / dimRowsPerPartition)).toInt
     // Persist the edge input and the host dimension ONCE via lazyCache
     // (RDD-level persist, NOT Dataset.cache): the iteration loop references
     // both in every contribution plan, and without the persist each of the
@@ -84,10 +95,10 @@ object LinkGraph {
     // hosts = src ∪ dst: a sink host (in-links, no out-links) still gets a
     // rank row — its inbound mass lands, it just contributes none onward
     // (the documented dangling-mass-decays simplification).
-    val hosts = B.lazyCache(
+    val hosts0 = B.lazyCache(
       e.select(col("src_host").as("host"))
         .union(e.select(col("dst_host").as("host"))).distinct())
-    val h = hosts.count() // bounded: the host dimension, one scalar job
+    val h = hosts0.count() // bounded: the host dimension, one scalar job
     // empty graph (a hub extraction that matched nothing): an empty rank
     // table with the right schema, not a divide-by-zero on scale / h
     if (h == 0L)
@@ -100,10 +111,36 @@ object LinkGraph {
     // out-weights, contributions) — broadcast them while h is small
     def bcast(df: DataFrame): DataFrame =
       if (h <= broadcastHostRows) broadcast(df) else df
-    val ew = B.lazyCache(e
-      .join(bcast(e.groupBy("src_host").agg(sum("n_links").as("ow"))), "src_host")
-      .select(col("src_host"), col("dst_host"), col("n_links"), col("ow")))
+    // coalesce the cached dimensions to their driver-known row bounds:
+    // h counts hosts exactly, and the h-count job materialized `e` too
+    // (hosts derive from it), so the edge count is one cheap cached-read
+    // job. Only taken in the small-graph (broadcast) regime — at web
+    // scale the extra |E| pass is not free and the dimensions keep their
+    // full parallel layout.
+    val (hosts, ew) =
+      if (h <= broadcastHostRows) {
+        val nE = e.count()
+        val eS = B.lazyCache(e, capFor(nE))
+        (B.lazyCache(hosts0, capFor(h)),
+          B.lazyCache(eS
+            .join(bcast(eS.groupBy("src_host").agg(sum("n_links").as("ow"))), "src_host")
+            .select(col("src_host"), col("dst_host"), col("n_links"), col("ow")),
+            capFor(nE)))
+      } else
+        (hosts0,
+          B.lazyCache(e
+            .join(bcast(e.groupBy("src_host").agg(sum("n_links").as("ow"))), "src_host")
+            .select(col("src_host"), col("dst_host"), col("n_links"), col("ow"))))
     val base = (15L * (scale / h)) / 100L
+    // zero-contribution floor rows: UNION'd with each iteration's edge
+    // contributions instead of left-joining hosts against the aggregated
+    // in-mass — same integer rank values (a host's rank is base + the sum
+    // of its in-contributions, 0 when it has none; Long sums are
+    // order-independent), but ONE join per iteration instead of two: half
+    // the sequential broadcast-build jobs in the small-graph regime, and
+    // one fewer exchange pair at web scale (a union feeding the same agg
+    // exchange replaces a second shuffled join).
+    val hostsZero = hosts.select(col("host"), lit(0L).as("c"))
     var rank = hosts.select(col("host"), lit(scale / h).as("rank"))
     for (_ <- 1 to iters) {
       // overflow-safe damping: divide by out-weight BEFORE multiplying by
@@ -113,11 +150,10 @@ object LinkGraph {
       // ~1.1e17 (a heavy host pair at web scale). The DuckDB oracle uses
       // the identical factored arithmetic.
       val contrib = ew.join(bcast(rank), ew("src_host") === rank("host"))
-        .select(col("dst_host"),
+        .select(col("dst_host").as("host"),
           expr("(n_links * ((85 * rank) div ow)) div 100").as("c"))
-        .groupBy("dst_host").agg(sum("c").as("inmass"))
-      rank = hosts.join(bcast(contrib), hosts("host") === contrib("dst_host"), "left")
-        .select(hosts("host"), (lit(base) + coalesce(col("inmass"), lit(0L))).as("rank"))
+      rank = contrib.unionByName(hostsZero)
+        .groupBy("host").agg((lit(base) + sum("c")).as("rank"))
     }
     rank.orderBy("host")
   }
