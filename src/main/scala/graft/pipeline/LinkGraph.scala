@@ -132,15 +132,16 @@ object LinkGraph {
             .join(bcast(e.groupBy("src_host").agg(sum("n_links").as("ow"))), "src_host")
             .select(col("src_host"), col("dst_host"), col("n_links"), col("ow"))))
     val base = (15L * (scale / h)) / 100L
-    // zero-contribution floor rows: UNION'd with each iteration's edge
-    // contributions instead of left-joining hosts against the aggregated
-    // in-mass — same integer rank values (a host's rank is base + the sum
-    // of its in-contributions, 0 when it has none; Long sums are
-    // order-independent), but ONE join per iteration instead of two: half
-    // the sequential broadcast-build jobs in the small-graph regime, and
-    // one fewer exchange pair at web scale (a union feeding the same agg
-    // exchange replaces a second shuffled join).
-    val hostsZero = hosts.select(col("host"), lit(0L).as("c"))
+    // Loop body: the r5 two-join shape, deliberately. A union-agg
+    // restructure (fold the zero-contribution floor rows into the
+    // contribution aggregate, one join per iteration) was tried and
+    // MEASURED 2.5x SLOWER at fixture scale (RankAB A/B: 0.5-0.6 s vs
+    // 1.2-1.5 s warm): making each iteration's rank root an
+    // exchange+aggregate turns every bcast(rank) build into an AQE
+    // shuffle-stage job with 32-reducer writer/codec buffers, where the
+    // two-join shape computes rank INSIDE the broadcast-build job as a
+    // pure broadcast-hash join over the cached host dimension — the
+    // second "join" costs less than the exchange it would replace.
     var rank = hosts.select(col("host"), lit(scale / h).as("rank"))
     for (_ <- 1 to iters) {
       // overflow-safe damping: divide by out-weight BEFORE multiplying by
@@ -150,10 +151,11 @@ object LinkGraph {
       // ~1.1e17 (a heavy host pair at web scale). The DuckDB oracle uses
       // the identical factored arithmetic.
       val contrib = ew.join(bcast(rank), ew("src_host") === rank("host"))
-        .select(col("dst_host").as("host"),
+        .select(col("dst_host"),
           expr("(n_links * ((85 * rank) div ow)) div 100").as("c"))
-      rank = contrib.unionByName(hostsZero)
-        .groupBy("host").agg((lit(base) + sum("c")).as("rank"))
+        .groupBy("dst_host").agg(sum("c").as("inmass"))
+      rank = hosts.join(bcast(contrib), hosts("host") === contrib("dst_host"), "left")
+        .select(hosts("host"), (lit(base) + coalesce(col("inmass"), lit(0L))).as("rank"))
     }
     rank.orderBy("host")
   }
