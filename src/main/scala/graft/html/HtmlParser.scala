@@ -44,8 +44,9 @@ object HtmlParser {
   private val headOnly: Set[String] = Set("title", "meta", "link", "base", "style")
 
   def parse(html: String): HElem = {
-    val tokens = tokenize(html)
-    build(tokens)
+    val b = new Builder
+    tokenize(html, b)
+    b.finish()
   }
 
   def parse(html: Array[Byte]): HElem =
@@ -53,12 +54,29 @@ object HtmlParser {
 
   // ---------------------------------------------------------------- tokens
 
-  sealed trait Tok
-  private final case class TText(s: String) extends Tok
-  private final case class TOpen(tag: String, attrNames: Array[String],
-                                 attrValues: Array[String], selfClose: Boolean) extends Tok
-  private final case class TClose(tag: String) extends Tok
-  private final case class TComment(s: String) extends Tok
+  /** Tokenizer → builder event stream. The two phases are FUSED: the
+    * tokenizer used to append TText/TOpen/TClose/TComment case objects
+    * into an ArrayBuffer the builder then replayed — ~100 short-lived
+    * wrappers plus buffer growth per page in the million-pages-per-round
+    * hot path. The sink callbacks fire at exactly the points the appends
+    * happened, so the event ORDER (hence the built tree) is identical.
+    */
+  private trait TokenSink {
+    def text(s: String): Unit
+    def open(tag: String, attrNames: Array[String], attrValues: Array[String],
+             selfClose: Boolean): Unit
+    def close(tag: String): Unit
+    def comment(s: String): Unit
+  }
+
+  /** Mutable holder for one open tag — reused across a whole tokenize
+    * call, replacing the per-tag (TOpen, Int) tuple. */
+  private final class OpenTag {
+    var tag: String = _
+    var attrNames: Array[String] = _
+    var attrValues: Array[String] = _
+    var selfClose: Boolean = false
+  }
 
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
@@ -147,13 +165,13 @@ object HtmlParser {
     -1
   }
 
-  private def tokenize(s: String): ArrayBuffer[Tok] = {
-    val out = ArrayBuffer[Tok]()
+  private def tokenize(s: String, out: TokenSink): Unit = {
     val n = s.length
     var i = 0
     val text = new java.lang.StringBuilder
+    val ot = new OpenTag
     def flushText(): Unit = {
-      if (text.length > 0) { out += TText(Entities.decode(text.toString)); text.setLength(0) }
+      if (text.length > 0) { out.text(Entities.decode(text.toString)); text.setLength(0) }
     }
     while (i < n) {
       val c = s.charAt(i)
@@ -165,7 +183,7 @@ object HtmlParser {
           if (s.startsWith("<!--", i)) {
             val end = s.indexOf("-->", i + 4)
             val stop = if (end < 0) n else end
-            out += TComment(s.substring(i + 4, stop))
+            out.comment(s.substring(i + 4, stop))
             i = if (end < 0) n else end + 3
           } else {
             // doctype or bogus declaration: skip to '>'
@@ -188,40 +206,39 @@ object HtmlParser {
             while (until > from && s.charAt(until - 1).isWhitespace) until -= 1
             var cut = from
             while (cut < until && !s.charAt(cut).isWhitespace) cut += 1
-            if (cut > from) out += TClose(NameIntern.of(s, from, cut))
+            if (cut > from) out.close(NameIntern.of(s, from, cut))
             i = if (j < n) j + 1 else n
           } else { text.append(c); i += 1 }
         } else if (isAsciiLetter(c1)) {
           flushText()
-          val (tok, next) = readOpenTag(s, i)
-          out += tok
-          i = next
+          i = readOpenTag(s, i, ot)
+          out.open(ot.tag, ot.attrNames, ot.attrValues, ot.selfClose)
           // Raw text elements: consume until the matching close tag verbatim.
-          tok match {
-            case TOpen(tag, _, _, false) if rawTextElements(tag) =>
-              val closeSeq = "</" + tag
-              var j = indexOfIgnoreCase(s, closeSeq, i)
-              if (j < 0) j = n
-              val raw = s.substring(i, j)
-              if (raw.nonEmpty)
-                out += TText(if (tag == "textarea" || tag == "title") Entities.decode(raw) else raw)
-              if (j < n) {
-                val gt = s.indexOf('>', j)
-                out += TClose(tag)
-                i = if (gt < 0) n else gt + 1
-              } else i = n
-            case _ =>
+          if (!ot.selfClose && rawTextElements(ot.tag)) {
+            val tag = ot.tag
+            val closeSeq = "</" + tag
+            var j = indexOfIgnoreCase(s, closeSeq, i)
+            if (j < 0) j = n
+            val raw = s.substring(i, j)
+            if (raw.nonEmpty)
+              out.text(if (tag == "textarea" || tag == "title") Entities.decode(raw) else raw)
+            if (j < n) {
+              val gt = s.indexOf('>', j)
+              out.close(tag)
+              i = if (gt < 0) n else gt + 1
+            } else i = n
           }
         } else { text.append(c); i += 1 }
       } else { text.append(c); i += 1 }
     }
     flushText()
-    out
   }
 
   private val noAttrs = Array.empty[String]
 
-  private def readOpenTag(s: String, start: Int): (TOpen, Int) = {
+  /** Reads one open tag into `ot` (holder reused across the page);
+    * returns the index just past the tag. */
+  private def readOpenTag(s: String, start: Int, ot: OpenTag): Int = {
     val n = s.length
     var i = start + 1
     val nameStart = i
@@ -273,24 +290,28 @@ object HtmlParser {
           } else if (name.nonEmpty) addAttr(name, "")
       }
     }
-    (TOpen(tag,
-      if (names == null) noAttrs else names.toArray,
-      if (values == null) noAttrs else values.toArray, selfClose), i)
+    ot.tag = tag
+    ot.attrNames = if (names == null) noAttrs else names.toArray
+    ot.attrValues = if (values == null) noAttrs else values.toArray
+    ot.selfClose = selfClose
+    i
   }
 
   // ---------------------------------------------------------------- tree
 
-  private def build(tokens: ArrayBuffer[Tok]): HElem = {
-    // html/head/body are synthesized like golang.org/x/net/html so xpath
-    // `//...` and scope `html` behave the same whether or not the author
-    // supplied them (the open/close handlers below fold author-supplied
-    // tags into the synthesized skeleton).
+  /** Tree builder as the tokenizer's sink — one pass, no token buffer.
+    * html/head/body are synthesized like golang.org/x/net/html so xpath
+    * `//...` and scope `html` behave the same whether or not the author
+    * supplied them (the open/close handlers below fold author-supplied
+    * tags into the synthesized skeleton).
+    */
+  private final class Builder extends TokenSink {
     val root = HElem("html")
-    val head = HElem("head")
-    val body = HElem("body")
+    private val head = HElem("head")
+    private val body = HElem("body")
 
-    val stack = ArrayBuffer[HElem]()
-    var inBodyPhase = false
+    private val stack = ArrayBuffer[HElem]()
+    private var inBodyPhase = false
 
     def ensureBody(): Unit = {
       if (!inBodyPhase) {
@@ -305,8 +326,8 @@ object HtmlParser {
       else if (inBodyPhase) body
       else head
 
-    def openTag(tag: String, attrNames: Array[String], attrValues: Array[String],
-                selfClose: Boolean): Unit = {
+    def open(tag: String, attrNames: Array[String], attrValues: Array[String],
+             selfClose: Boolean): Unit = {
       tag match {
         case "html" =>
           // merge attributes into synthesized root
@@ -333,7 +354,7 @@ object HtmlParser {
       }
     }
 
-    def closeTag(tag: String): Unit = {
+    def close(tag: String): Unit = {
       tag match {
         case "html" | "head" => if (!inBodyPhase && tag == "head") inBodyPhase = false
         case "body"          => stack.clear()
@@ -344,18 +365,19 @@ object HtmlParser {
       }
     }
 
-    tokens.foreach {
-      case TText(t) =>
-        if (!inBodyPhase && t.trim.nonEmpty && stack.isEmpty) ensureBody()
-        if (inBodyPhase || stack.nonEmpty || t.trim.nonEmpty) current.append(new HText(t))
-        else if (!inBodyPhase) head.append(new HText(t))
-      case TComment(c) => current.append(new HComment(c))
-      case TOpen(tag, an, av, sc) => openTag(tag, an, av, sc)
-      case TClose(tag) => closeTag(tag)
+    def text(t: String): Unit = {
+      if (!inBodyPhase && t.trim.nonEmpty && stack.isEmpty) ensureBody()
+      if (inBodyPhase || stack.nonEmpty || t.trim.nonEmpty) current.append(new HText(t))
+      else if (!inBodyPhase) head.append(new HText(t))
     }
-    if (!inBodyPhase) { // head-only document
-      root.append(head); root.append(body); inBodyPhase = true
+
+    def comment(c: String): Unit = current.append(new HComment(c))
+
+    def finish(): HElem = {
+      if (!inBodyPhase) { // head-only document
+        root.append(head); root.append(body); inBodyPhase = true
+      }
+      root
     }
-    root
   }
 }
