@@ -16,6 +16,37 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(divs.head.classes == Set("x", "y"))
   }
 
+  test("tag/attr name interning: mixed case, unknown names, non-ASCII fallback") {
+    // known names in any ASCII case resolve to the interned lowercase form
+    val r1 = HtmlParser.parse("<DIV Class='a'><SPAN DATA-ID='7'>x</SPAN></DIV>")
+    val div = r1.descendants.find(_.tag == "div").get
+    assert(div.attr("class").contains("a"))
+    val span = r1.descendants.find(_.tag == "span").get
+    assert(span.attr("data-id").contains("7"))
+    // unknown names still lowercase through the legacy path
+    val r2 = HtmlParser.parse("<MyWidget Data-Custom-Thing='v'>y</MyWidget>")
+    val w = r2.descendants.find(_.tag == "mywidget").get
+    assert(w.attr("data-custom-thing").contains("v"))
+    // a non-ASCII name can never hit the intern table; behavior matches
+    // plain toLowerCase
+    val r3 = HtmlParser.parse("<div Ättr='z'>t</div>")
+    assert(r3.descendants.find(_.tag == "div").get.attr("ättr").contains("z"))
+    // close-tag names intern through the same path (mixed case + spaces)
+    val r4 = HtmlParser.parse("<div><p>a</P ></div><ul><LI>b</ LI></ul>")
+    assert(r4.descendants.count(_.tag == "p") == 1)
+  }
+
+  test("duplicate attributes: first occurrence wins (HTML5), via the parser fast path") {
+    val root = HtmlParser.parse("<div class='first' id='i' class='second'>x</div>")
+    val div = root.descendants.find(_.tag == "div").get
+    assert(div.attr("class").contains("first"))
+    assert(div.id.contains("i"))
+    // duplicate-free tags adopt the arrays as-is — order preserved
+    var seen = List.empty[(String, String)]
+    div.foreachAttr((k, v) => seen = seen :+ (k -> v))
+    assert(seen == List("class" -> "first", "id" -> "i"))
+  }
+
   test("implicit html/body synthesis") {
     val root = HtmlParser.parse("<div>x</div>")
     assert(root.tag == "html")
